@@ -1,0 +1,306 @@
+package graft.crawl
+
+import graft.fixtures.{SyntheticWeb, WebConfig}
+import graft.frontier.{Scheduler, SeenSet}
+import graft.functions.GraftExpressions._
+import graft.tables.SnapshotTable
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The distributed crawl loop — the Spark restatement of blockspider's
+  * poll-round state machine (SURVEY.md §3.1):
+  *
+  *   batch bound → parallel fetch (wide stage) → ordered commit (sort, not
+  *   task chain) → revision diff (reorg analog) → envelope emit → atomic
+  *   checkpoint.
+  *
+  * One round = one micro-batch. All state lives in a [[SnapshotTable]]
+  * (queue / seen / window / hostctr); every round ends with an atomic
+  * snapshot commit, and the next round reads back from the snapshot — which
+  * both truncates the iterative lineage and makes any round a resume point
+  * (kill the process between rounds: `run` continues from LATEST, the
+  * reference's checkpoint-resume semantics, /root/reference/state/state.go).
+  *
+  * Sink semantics are at-least-once exactly like the reference (emit before
+  * checkpoint save, SURVEY.md §2.9): envelopes for round r are written
+  * before snapshot r commits, so a crash between the two re-emits round r on
+  * resume. Emits are keyed (round, host, ord) → idempotent read-back.
+  *
+  * Scale notes (the point of the exercise):
+  *  - fetch is the only executor-heavy stage; it runs data-parallel over the
+  *    scheduled set with NO ordering requirement — order is re-imposed at
+  *    commit via per-host rank, the way a shuffle sort replaces the
+  *    reference's serial handler (/root/reference/syncronizer/synchronizer.go:14-36);
+  *  - per-host top-k scheduling is salted two-phase (see [[Scheduler]]);
+  *  - seen-set dedup is bloom-pre-filtered anti-join ([[SeenSet]]), switching
+  *    on once the seen table passes `bloomThreshold` rows;
+  *  - hostState is broadcast (one row per host);
+  *  - revision handling is a bounded K-deep window diff, not an iterative
+  *    walk (SURVEY.md §3.2) — metadata about the ≤ few revised hosts is the
+  *    only thing ever collected to the driver.
+  */
+object CrawlJob {
+
+  final case class SchedRow(host: String, url: String, url_hash: Long,
+      path: String, seq: Long, priority: Int, host_rank: Int)
+  final case class FetchedRow(host: String, url: String, url_hash: Long,
+      seq: Long, priority: Int, host_rank: Int, ok: Boolean,
+      image_id: String, outlinks: Seq[String])
+
+  val EmitCols = Seq("round", "status", "host", "seq", "ord", "url_hash", "url", "priority")
+
+  /** Run (or resume) the crawl for `cfg.rounds` rounds against the synthetic
+    * web, checkpointing into `stateDir` and appending emits/pages under
+    * `sinkDir`. Returns the round it stopped after.
+    */
+  def run(spark: SparkSession, cfg: WebConfig, stateDir: String, sinkDir: String,
+      upToRound: Option[Long] = None, bloomThreshold: Long = 200000L): Long = {
+    import spark.implicits._
+    val state = new SnapshotTable(stateDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(sinkDir))
+
+    val startRound: Long = state.latestSnapshot match {
+      case Some(snap) =>
+        state.read(spark, "meta").select(max("round")).as[Long].head() + 1
+      case None =>
+        seedState(spark, cfg, state)
+        1L
+    }
+    val endRound = math.min(upToRound.getOrElse(cfg.rounds.toLong), cfg.rounds.toLong)
+
+    val hostState = spark.createDataset(SyntheticWeb.hostStates(cfg)).toDF()
+    val revsByRound = SyntheticWeb.revisions(cfg).groupBy(_.round)
+
+    var round = startRound
+    while (round <= endRound) {
+      runRound(spark, cfg, round, state, sinkDir, hostState,
+        revsByRound.getOrElse(round, Seq.empty), bloomThreshold)
+      round += 1
+    }
+    endRound
+  }
+
+  /** Cold start: seed queue from the seed list (T9 analog). Per-host seq is
+    * assigned in seed-index order — part of the pinned ordering spec.
+    */
+  private def seedState(spark: SparkSession, cfg: WebConfig, state: SnapshotTable): Unit = {
+    import spark.implicits._
+    val seeds = SyntheticWeb.seedUrls(cfg).zipWithIndex.toDF("raw_url", "seed_idx")
+    val canon = seeds
+      .withColumn("url", canonicalize_url(col("raw_url")))
+      .withColumn("url_hash", xxhash64(col("url")))
+      .withColumn("host", url_host(col("url")))
+      .withColumn("path", url_path(col("url")))
+      .withColumn("priority", pmod(xxhash64(col("url")), lit(10)).cast("int"))
+    val queue = canon
+      .withColumn("seq",
+        row_number().over(Window.partitionBy(col("host")).orderBy(col("seed_idx"))).cast("long"))
+      .select("host", "url", "url_hash", "path", "seq", "priority")
+    val hostctr = queue.groupBy("host")
+      .agg((max("seq") + 1).as("next_seq"), lit(1L).as("next_ord"))
+    val empty = spark.emptyDataset[(String, Long, Long, Long, String)]
+      .toDF("host", "ord", "seq", "url_hash", "url")
+    state.commit(Map(
+      "queue" -> queue,
+      "seen" -> spark.emptyDataset[Long].toDF("url_hash"),
+      "window" -> empty,
+      "hostctr" -> hostctr,
+      "meta" -> Seq((0L)).toDF("round")))
+  }
+
+  private def runRound(spark: SparkSession, cfg: WebConfig, round: Long,
+      state: SnapshotTable, sinkDir: String, hostState: DataFrame,
+      revs: Seq[SyntheticWeb.Revision], bloomThreshold: Long): Unit = {
+    import spark.implicits._
+
+    var queue = state.read(spark, "queue")
+    var seen = state.read(spark, "seen")
+    var window = state.read(spark, "window")
+    var hostctr = state.read(spark, "hostctr")
+    val emitParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+    // ---- 1. scripted revisions (reorg analog): bounded window diff -------
+    if (revs.nonEmpty) {
+      val revHosts = revs.map(_.host)
+      val depthByHost = revs.map(r => r.host -> r).toMap
+      // revision metadata is O(#revised hosts) — the only driver collect
+      val wCounts = window.filter(col("host").isin(revHosts: _*))
+        .groupBy("host").count().as[(String, Long)].collect().toMap
+      val ctrs = hostctr.filter(col("host").isin(revHosts: _*))
+        .select("host", "next_seq", "next_ord").as[(String, Long, Long)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+      val active = revs.filter(r => wCounts.getOrElse(r.host, 0L) > 0L).sortBy(_.host)
+      if (active.nonEmpty) {
+        val depths = active.map(r =>
+          (r.host, math.min(r.depth.toLong, wCounts(r.host)), r.extra.toLong))
+          .toDF("host", "rev_depth", "rev_extra")
+        val ranked = window.join(broadcast(depths), Seq("host"))
+          .withColumn("rev_rank",
+            row_number().over(Window.partitionBy(col("host")).orderBy(col("ord").desc)))
+        val dropped = ranked.filter(col("rev_rank") <= col("rev_depth"))
+        emitParts += dropped.select(
+          lit(round).as("round"), lit("DROPPED").as("status"), col("host"),
+          col("seq"), col("ord"), col("url_hash"), col("url"),
+          pmod(xxhash64(col("url")), lit(10)).cast("int").as("priority"))
+        window = window.join(dropped.select("host", "ord"), Seq("host", "ord"), "left_anti")
+        seen = seen.join(dropped.select("url_hash"), Seq("url_hash"), "left_anti")
+
+        // replacements: generated rows, seq/ord from hostctr (driver-side:
+        // bounded by revision count, never by data size)
+        val repl = active.flatMap { r =>
+          val d = math.min(r.depth.toLong, wCounts(r.host))
+          val (seq0, ord0) = ctrs(r.host)
+          (0 until (d + r.extra).toInt).map { i =>
+            val url = graft.functions.UrlCodec.canonicalize(
+              SyntheticWeb.replacementUrl(r.host, round, i))
+            (r.host, seq0 + i, ord0 + i, graft.functions.GraftHash.xxhash64(url), url)
+          }
+        }
+        val replDf = repl.toDF("host", "seq", "ord", "url_hash", "url")
+        emitParts += replDf.select(
+          lit(round).as("round"), lit("ACCEPTED").as("status"), col("host"),
+          col("seq"), col("ord"), col("url_hash"), col("url"),
+          pmod(xxhash64(col("url")), lit(10)).cast("int").as("priority"))
+        window = window.unionByName(replDf.select("host", "ord", "seq", "url_hash", "url"))
+        seen = seen.unionByName(replDf.select("url_hash"))
+
+        val ctrDelta = active.map { r =>
+          val n = math.min(r.depth.toLong, wCounts(r.host)) + r.extra
+          (r.host, n, n)
+        }.toDF("host", "dseq", "dord")
+        hostctr = hostctr.join(broadcast(ctrDelta), Seq("host"), "left")
+          .withColumn("next_seq", col("next_seq") + coalesce(col("dseq"), lit(0L)))
+          .withColumn("next_ord", col("next_ord") + coalesce(col("dord"), lit(0L)))
+          .drop("dseq", "dord")
+      }
+    }
+
+    // ---- 2. robots gate: permanent discard (never fetched, never seen) ---
+    val gatedOut = queue.join(broadcast(hostState), Seq("host"))
+      .filter(Scheduler.robotsDisallowed(col("path"), col("robots_disallow")))
+      .select(queue.columns.map(col): _*)
+    queue = queue.join(gatedOut.select("url_hash"), Seq("url_hash"), "left_anti")
+
+    // ---- 3. politeness-aware per-host top-k ------------------------------
+    val scheduled = Scheduler.schedule(queue, hostState, cfg.roundMillis)
+      .select("host", "url", "url_hash", "path", "seq", "priority", "host_rank")
+      .as[SchedRow]
+
+    // ---- 4. parallel fetch (the wide stage; order NOT required here) -----
+    val fetched: Dataset[FetchedRow] = scheduled.mapPartitions { it =>
+      it.map { s =>
+        val ok = !SyntheticWeb.failsAt(cfg, s.url, round)
+        FetchedRow(s.host, s.url, s.url_hash, s.seq, s.priority, s.host_rank, ok,
+          if (ok) SyntheticWeb.imageIdOf(s.url, cfg.numImages) else null,
+          if (ok) SyntheticWeb.outlinksOf(cfg, s.url) else Seq.empty)
+      }
+    }
+
+    // ---- 5. prefix commit: drop everything at/after a host's first failure
+    val fetchedDf = fetched.toDF().persist()
+    val minFailed = fetchedDf.filter(!col("ok"))
+      .groupBy("host").agg(min("host_rank").as("min_failed"))
+    val committed = fetchedDf
+      .join(broadcast(minFailed), Seq("host"), "left")
+      .filter(col("min_failed").isNull || col("host_rank") < col("min_failed"))
+      .drop("min_failed")
+      .persist()
+
+    // ---- 6. ordered commit: ord = next_ord + host_rank - 1 ---------------
+    val withOrd = committed
+      .join(hostctr.select("host", "next_ord"), Seq("host"), "left")
+      .withColumn("ord", coalesce(col("next_ord"), lit(1L)) + col("host_rank") - 1)
+      .drop("next_ord")
+      .persist()
+
+    emitParts += withOrd.select(
+      lit(round).as("round"), lit("ACCEPTED").as("status"), col("host"),
+      col("seq"), col("ord"), col("url_hash"), col("url"), col("priority"))
+
+    val pages = withOrd.select(lit(round).as("round"), col("host"), col("seq"),
+      col("url_hash"), col("image_id"))
+
+    // ---- 7. state updates -------------------------------------------------
+    window = window
+      .unionByName(withOrd.select("host", "ord", "seq", "url_hash", "url"))
+      .withColumn("w_rank",
+        row_number().over(Window.partitionBy(col("host")).orderBy(col("ord").desc)))
+      .filter(col("w_rank") <= cfg.windowK)
+      .drop("w_rank")
+    seen = seen.unionByName(withOrd.select("url_hash"))
+    queue = queue.join(withOrd.select("url_hash"), Seq("url_hash"), "left_anti")
+
+    // ---- 8. discoveries: canonicalize → hash → dedup → assign seq --------
+    val candidatesRaw = withOrd
+      .select(explode(col("outlinks")).as("raw_url"))
+      .withColumn("url", canonicalize_url(col("raw_url")))
+      .withColumn("url_hash", xxhash64(col("url")))
+      .dropDuplicates("url_hash")
+      .withColumn("host", url_host(col("url")))
+      .withColumn("path", url_path(col("url")))
+      .withColumn("priority", pmod(xxhash64(col("url")), lit(10)).cast("int"))
+      .select("host", "url", "url_hash", "path", "priority")
+
+    val seenCount = seen.count()
+    val notSeen =
+      if (seenCount >= bloomThreshold) {
+        val blooms = SeenSet.buildBlooms(seen, expectedItemsPerShard =
+          math.max(seenCount / SeenSet.DefaultShards * 2, 1024L))
+        SeenSet.filterNew(spark, candidatesRaw, seen, blooms)
+      } else SeenSet.filterNewExact(candidatesRaw, seen)
+    val fresh = notSeen
+      .join(queue.select("url_hash"), Seq("url_hash"), "left_anti")
+      .withColumn("cand_rank",
+        row_number().over(Window.partitionBy(col("host")).orderBy(col("url_hash"))).cast("long"))
+
+    val newEntries = fresh
+      .join(hostctr.select("host", "next_seq"), Seq("host"), "left")
+      .withColumn("seq", coalesce(col("next_seq"), lit(1L)) + col("cand_rank") - 1)
+      .select("host", "url", "url_hash", "path", "seq", "priority")
+    queue = queue.unionByName(newEntries)
+
+    // ---- 9. host counters --------------------------------------------------
+    val dOrd = withOrd.groupBy("host").agg(count(lit(1)).as("d_ord"))
+    val dSeq = fresh.groupBy("host").agg(count(lit(1)).as("d_seq"))
+    hostctr = hostctr
+      .join(dOrd, Seq("host"), "full_outer")
+      .join(dSeq, Seq("host"), "full_outer")
+      .select(col("host"),
+        (coalesce(col("next_seq"), lit(1L)) + coalesce(col("d_seq"), lit(0L))).as("next_seq"),
+        (coalesce(col("next_ord"), lit(1L)) + coalesce(col("d_ord"), lit(0L))).as("next_ord"))
+
+    // ---- 10. emit (before checkpoint → at-least-once), then commit -------
+    val emits = emitParts.reduce(_ unionByName _)
+    emits
+      .repartitionByRange(col("host"))
+      .sortWithinPartitions(Scheduler.globalOrder: _*)
+      .write.mode(SaveMode.Overwrite).parquet(f"$sinkDir/emits-$round%04d")
+    pages.write.mode(SaveMode.Overwrite).parquet(f"$sinkDir/pages-$round%04d")
+
+    // per-partition lineage + fetch metrics (north_rule)
+    fetchedDf
+      .groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("n_fetched"),
+        sum(when(!col("ok"), 1L).otherwise(0L)).as("n_failed"),
+        min("seq").as("min_seq"), max("seq").as("max_seq"))
+      .withColumn("round", lit(round))
+      .write.mode(SaveMode.Overwrite).parquet(f"$sinkDir/metrics-$round%04d")
+
+    state.commit(Map(
+      "queue" -> queue, "seen" -> seen, "window" -> window,
+      "hostctr" -> hostctr,
+      "meta" -> Seq((round)).toDF("round")))
+    state.expireOldSnapshots(keep = 2)
+
+    fetchedDf.unpersist(); committed.unpersist(); withOrd.unpersist()
+  }
+
+  /** All emitted envelopes across rounds, in the pinned global order. */
+  def readEmits(spark: SparkSession, sinkDir: String): DataFrame =
+    spark.read.parquet(s"$sinkDir/emits-*")
+
+  def readPages(spark: SparkSession, sinkDir: String): DataFrame =
+    spark.read.parquet(s"$sinkDir/pages-*")
+}

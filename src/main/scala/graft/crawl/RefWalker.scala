@@ -1,0 +1,161 @@
+package graft.crawl
+
+import graft.fixtures.{SyntheticWeb, WebConfig}
+import graft.functions.{GraftHash, UrlCodec}
+import scala.collection.mutable
+
+/** The single-threaded reference walker: a trivially-sequential
+  * implementation of the crawl spec, used as the ordering/seen-set oracle the
+  * distributed engine must match exactly (FIXTURES.md §3 `expected_order` /
+  * `expected_seen`; the role blockspider's serial commit order plays in
+  * /root/reference/syncronizer/synchronizer.go:14-36).
+  *
+  * Deliberately implemented with plain loops and collections — no Spark, no
+  * shared scheduling code with [[CrawlJob]] — so an engine bug cannot cancel
+  * out in the comparison. The only shared code is the *input*: the synthetic
+  * web ([[SyntheticWeb]]) and the url canonicalize/hash primitives, which
+  * define the data, not the crawl semantics.
+  *
+  * Crawl spec implemented here (and, distributed, in CrawlJob):
+  *  round r = 1..R:
+  *   1. scripted revisions for r: retract the host's last d committed window
+  *      entries (emit DROPPED, newest first; remove from seen), substitute
+  *      d+extra replacements (assign fresh seq+ord; emit ACCEPTED, oldest
+  *      first; add to seen+window).
+  *   2. robots gate: queue entries whose path matches a disallow prefix are
+  *      discarded permanently (never fetched, never seen).
+  *   3. schedule per host: capacity = min(budget, roundMillis/min_delay_ms);
+  *      order = (priority desc, seq asc); take `capacity`.
+  *   4. fetch in order; first failure in a host's batch stops that host's
+  *      commits for the round (prefix commit) — survivors stay queued.
+  *   5. committed: emit ACCEPTED (ord = per-host monotone counter), add to
+  *      seen, push to the K-deep window, remove from queue.
+  *   6. out-links of committed pages: canonicalize; drop if already seen,
+  *      queued, or duplicated in-round; per host, assign seq in url_hash
+  *      order (parent-independent, hence parallelism-independent).
+  */
+object RefWalker {
+
+  final case class Emit(
+      round: Long, status: String, host: String, seq: Long, ord: Long,
+      url_hash: Long, url: String, priority: Int)
+
+  final case class QEntry(url: String, url_hash: Long, path: String, seq: Long, priority: Int)
+  final case class WEntry(ord: Long, seq: Long, url_hash: Long, url: String)
+
+  final case class Result(emits: Vector[Emit], seen: Set[Long],
+      queueSize: Int, fetchedPages: Vector[(Long, String)]) // (url_hash, image_id)
+
+  def run(cfg: WebConfig): Result = {
+    val hostStates = SyntheticWeb.hostStates(cfg).map(h => h.host -> h).toMap
+    val revs = SyntheticWeb.revisions(cfg).groupBy(_.round)
+
+    val queue = mutable.Map[String, mutable.ArrayBuffer[QEntry]]()
+    val queuedHashes = mutable.Set[Long]()
+    val seen = mutable.Set[Long]()
+    val window = mutable.Map[String, mutable.ArrayBuffer[WEntry]]()
+    val nextSeq = mutable.Map[String, Long]().withDefaultValue(1L)
+    val nextOrd = mutable.Map[String, Long]().withDefaultValue(1L)
+    val emits = Vector.newBuilder[Emit]
+    val pages = Vector.newBuilder[(Long, String)]
+
+    def enqueue(host: String, canonical: String): Unit = {
+      val h = GraftHash.xxhash64(canonical)
+      if (!seen.contains(h) && !queuedHashes.contains(h)) {
+        val e = QEntry(canonical, h, UrlCodec.pathOf(canonical),
+          nextSeq(host), SyntheticWeb.priorityOf(canonical))
+        nextSeq(host) = nextSeq(host) + 1
+        queue.getOrElseUpdate(host, mutable.ArrayBuffer()) += e
+        queuedHashes += h
+      }
+    }
+
+    // seeds: per host, seq assigned in seed-index order
+    SyntheticWeb.seedUrls(cfg).foreach { raw =>
+      val c = UrlCodec.canonicalize(raw)
+      enqueue(UrlCodec.hostOf(c), c)
+    }
+
+    for (round <- 1L to cfg.rounds.toLong) {
+      // 1. revisions
+      revs.getOrElse(round, Seq.empty).sortBy(_.host).foreach { rev =>
+        val w = window.getOrElse(rev.host, mutable.ArrayBuffer())
+        if (w.nonEmpty) {
+          val d = math.min(rev.depth, w.size)
+          val dropped = w.sortBy(-_.ord).take(d)
+          dropped.foreach { e =>
+            emits += Emit(round, "DROPPED", rev.host, e.seq, e.ord, e.url_hash,
+              e.url, SyntheticWeb.priorityOf(e.url))
+            seen -= e.url_hash
+          }
+          val keep = w.filterNot(e => dropped.exists(_.ord == e.ord))
+          window(rev.host) = keep
+          (0 until d + rev.extra).foreach { i =>
+            val url = UrlCodec.canonicalize(SyntheticWeb.replacementUrl(rev.host, round, i))
+            val h = GraftHash.xxhash64(url)
+            val seq = nextSeq(rev.host); nextSeq(rev.host) = seq + 1
+            val ord = nextOrd(rev.host); nextOrd(rev.host) = ord + 1
+            emits += Emit(round, "ACCEPTED", rev.host, seq, ord, h, url,
+              SyntheticWeb.priorityOf(url))
+            seen += h
+            val wb = window.getOrElseUpdate(rev.host, mutable.ArrayBuffer())
+            wb += WEntry(ord, seq, h, url)
+            if (wb.size > cfg.windowK)
+              window(rev.host) = wb.sortBy(_.ord).takeRight(cfg.windowK)
+          }
+        }
+      }
+
+      // 2-4. schedule + fetch + prefix commit
+      val newlyDiscovered = mutable.ArrayBuffer[(String, String)]() // (host, url)
+      queue.keys.toSeq.sorted.foreach { host =>
+        val st = hostStates(host)
+        val q = queue(host)
+        // robots gate: permanent discard
+        val (blocked, allowed) =
+          q.partition(e => st.robots_disallow.exists(e.path.startsWith))
+        blocked.foreach(e => queuedHashes -= e.url_hash)
+        queue(host) = allowed
+        val cap = math.min(st.budget.toLong, cfg.roundMillis / math.max(st.min_delay_ms, 1L)).toInt
+        val batch = allowed.sortBy(e => (-e.priority, e.seq)).take(cap)
+        var failed = false
+        batch.foreach { e =>
+          if (!failed) {
+            if (SyntheticWeb.failsAt(cfg, e.url, round)) {
+              failed = true // e and everything after stay queued (prefix commit)
+            } else {
+              val ord = nextOrd(host); nextOrd(host) = ord + 1
+              emits += Emit(round, "ACCEPTED", host, e.seq, ord, e.url_hash, e.url, e.priority)
+              pages += ((e.url_hash, SyntheticWeb.imageIdOf(e.url, cfg.numImages)))
+              seen += e.url_hash
+              queuedHashes -= e.url_hash
+              queue(host) = queue(host).filterNot(_.url_hash == e.url_hash)
+              val wb = window.getOrElseUpdate(host, mutable.ArrayBuffer())
+              wb += WEntry(ord, e.seq, e.url_hash, e.url)
+              if (wb.size > cfg.windowK)
+                window(host) = wb.sortBy(_.ord).takeRight(cfg.windowK)
+              SyntheticWeb.outlinksOf(cfg, e.url).foreach { raw =>
+                val c = UrlCodec.canonicalize(raw)
+                newlyDiscovered += ((UrlCodec.hostOf(c), c))
+              }
+            }
+          }
+        }
+      }
+
+      // 6. enqueue discoveries: in-round dedup, per-host url_hash order
+      newlyDiscovered
+        .distinct
+        .groupBy(_._1)
+        .toSeq.sortBy(_._1)
+        .foreach { case (host, urls) =>
+          urls.map(_._2).distinct
+            .sortBy(GraftHash.xxhash64(_))
+            .foreach(u => enqueue(host, u))
+        }
+    }
+
+    Result(emits.result(), seen.toSet,
+      queue.values.map(_.size).sum, pages.result())
+  }
+}

@@ -1,0 +1,117 @@
+package graft.fixtures
+
+import graft.functions.{GraftHash, UrlCodec}
+import graft.schema.HostState
+
+/** The deterministic synthetic web: the "remote chain" analog of the
+  * reference's `reorgd` simulator (/root/reference/cmd/reorgd/main.go), with
+  * its dice replaced by seeded mixing (FIXTURES.md intro) so every run —
+  * single-threaded oracle or distributed engine, at any parallelism —
+  * observes the identical web.
+  *
+  * Everything is a pure function of the URL (plus round for failures):
+  * page content (image id), out-links, priorities, per-host politeness
+  * state, injected transient fetch failures, and the scripted revision
+  * (reorg-analog) events.
+  *
+  * Parity notes (pinned by CrawlParitySpec):
+  *  - url_hash = Spark builtin xxhash64 (via [[GraftHash.xxhash64]]);
+  *  - priority(url) = floorMod(xxhash64(url), 10) — expressible in Spark as
+  *    `pmod(xxhash64(col), lit(10))` so the engine derives it columnar.
+  */
+final case class WebConfig(
+    seed: Long = 42L,
+    numHosts: Int = 16,
+    numSeeds: Int = 60,
+    numImages: Int = 1000,
+    zipfS: Double = 1.2,
+    failMod: Int = 23,      // ~4% transient fetch failures; 0 = never fail
+    maxOutlinks: Int = 3,
+    rounds: Int = 6,
+    windowK: Int = 8,
+    roundMillis: Long = 1000L)
+
+object SyntheticWeb {
+  import GraftHash.{mix64, xxhash64}
+
+  def hostName(i: Int): String = f"host$i%02d.test"
+
+  /** Zipf(s) sampling over hosts — hot-host skew on purpose (FIXTURES.md §3). */
+  def pickHost(cfg: WebConfig, k: Long): String = {
+    val weights = (0 until cfg.numHosts).map(i => 1.0 / math.pow(i + 1, cfg.zipfS))
+    val total = weights.sum
+    val u = ((mix64(k) >>> 11).toDouble / (1L << 53).toDouble) * total
+    var acc = 0.0
+    var i = 0
+    while (i < cfg.numHosts - 1 && acc + weights(i) < u) { acc += weights(i); i += 1 }
+    hostName(i)
+  }
+
+  def seedUrls(cfg: WebConfig): Seq[String] =
+    (0 until cfg.numSeeds).map { j =>
+      val h = pickHost(cfg, mix64(cfg.seed, j.toLong))
+      s"http://$h/p/s$j"
+    }
+
+  def priorityOf(canonicalUrl: String): Int =
+    java.lang.Math.floorMod(xxhash64(canonicalUrl), 10L).toInt
+
+  def imageIdOf(canonicalUrl: String, numImages: Int): String =
+    f"img${java.lang.Math.floorMod(xxhash64(canonicalUrl), numImages.toLong)}%010d"
+
+  /** Discovered out-links of a page — the frontier-growth analog of
+    * block→parent lineage. ~70% same-host; ~10% land under a robots-disallowed
+    * prefix to exercise the gate.
+    */
+  def outlinksOf(cfg: WebConfig, canonicalUrl: String): Seq[String] = {
+    val h = xxhash64(canonicalUrl)
+    val k = java.lang.Math.floorMod(mix64(h, 0x0eadL), (cfg.maxOutlinks + 1).toLong).toInt
+    (0 until k).map { i =>
+      val sameHost = java.lang.Math.floorMod(mix64(h, i * 2L + 1L), 100L) < 70
+      val tgtHost =
+        if (sameHost) UrlCodec.hostOf(canonicalUrl)
+        else pickHost(cfg, mix64(h, i * 2L + 2L))
+      val disallowed = java.lang.Math.floorMod(mix64(h, i * 7L + 3L), 10L) == 0
+      val token = java.lang.Long.toHexString(mix64(h, i + 101L) >>> 16)
+      val prefix = if (disallowed) "/private" else "/p"
+      s"http://$tgtHost$prefix/$token"
+    }
+  }
+
+  /** Transient failure injection, a pure function of (url, round) — the
+    * fetch-error path that must trigger prefix-commit (SURVEY.md §4 inv 1).
+    * A failed URL succeeds on a later round.
+    */
+  def failsAt(cfg: WebConfig, canonicalUrl: String, round: Long): Boolean =
+    cfg.failMod > 0 &&
+      java.lang.Math.floorMod(mix64(xxhash64(canonicalUrl), round * 0x9e37L), cfg.failMod.toLong) == 0
+
+  /** Politeness + robots side input: one row per host. */
+  def hostStates(cfg: WebConfig): Seq[HostState] =
+    (0 until cfg.numHosts).map { i =>
+      HostState(
+        host = hostName(i),
+        robots_disallow = if (i % 3 == 0) Seq("/private/") else Seq.empty,
+        min_delay_ms = 100L + (i % 5) * 100L,
+        budget = 2 + (i % 4))
+    }
+
+  // ---- scripted revisions (the reorg analog, FIXTURES.md §4) -------------
+
+  /** A scripted frontier revision: at `round`, host `host` retracts its last
+    * `depth` committed entries and substitutes `depth + extra` replacements.
+    */
+  final case class Revision(round: Long, host: String, depth: Int, extra: Int)
+
+  def revisions(cfg: WebConfig): Seq[Revision] =
+    Seq(2L, 4L).filter(_ <= cfg.rounds).map { r =>
+      Revision(
+        round = r,
+        host = pickHost(cfg, mix64(777L, r)),
+        depth = 1 + java.lang.Math.floorMod(mix64(888L, r), 3L).toInt,
+        extra = java.lang.Math.floorMod(mix64(999L, r), 2L).toInt)
+    }
+
+  def replacementUrl(host: String, round: Long, i: Int): String =
+    s"http://$host/rev/r${round}x$i"
+}

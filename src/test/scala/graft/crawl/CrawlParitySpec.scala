@@ -1,0 +1,104 @@
+package graft.crawl
+
+import graft.SparkTestBase
+import graft.fixtures.{SyntheticWeb, WebConfig}
+import graft.functions.GraftHash
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The north_rule correctness gate: the distributed engine must reproduce
+  * the single-threaded reference walker's crawl ordering and final URL-seen
+  * set exactly, under the same seed list and politeness budget — including
+  * scripted revisions (reorg analog), injected fetch failures
+  * (prefix-commit), robots gating, and checkpoint/resume.
+  */
+class CrawlParitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-crawl").toString
+
+  private def emitKey(r: (Long, String, String, Long, Long, Long, String, Int)) = r
+
+  private def engineEmits(sinkDir: String): Seq[(Long, String, String, Long, Long, Long, String, Int)] =
+    CrawlJob.readEmits(spark, sinkDir)
+      .select("round", "status", "host", "seq", "ord", "url_hash", "url", "priority")
+      .as[(Long, String, String, Long, Long, Long, String, Int)]
+      .collect().toSeq.sortBy(e => (e._1, e._3, e._5, e._2))
+
+  private def refEmits(ref: RefWalker.Result): Seq[(Long, String, String, Long, Long, Long, String, Int)] =
+    ref.emits.map(e => (e.round, e.status, e.host, e.seq, e.ord, e.url_hash, e.url, e.priority))
+      .sortBy(e => (e._1, e._3, e._5, e._2))
+
+  test("xxhash64 driver-side parity with the Spark builtin") {
+    val urls = SyntheticWeb.seedUrls(WebConfig())
+    val fromSpark = urls.toDF("u").select(xxhash64(col("u"))).as[Long].collect()
+    val fromScala = urls.map(GraftHash.xxhash64)
+    assert(fromSpark.toSeq === fromScala)
+  }
+
+  test("engine reproduces reference crawl ordering and final seen-set exactly") {
+    val cfg = WebConfig()
+    val ref = RefWalker.run(cfg)
+    assert(ref.emits.nonEmpty, "fixture produced no emissions — broken config")
+    assert(ref.emits.exists(_.status == "DROPPED"), "fixture exercised no revisions")
+
+    val stateDir = tmp(); val sinkDir = tmp()
+    CrawlJob.run(spark, cfg, stateDir, sinkDir)
+
+    val got = engineEmits(sinkDir)
+    val want = refEmits(ref)
+    assert(got.size === want.size,
+      s"emission count mismatch: engine=${got.size} ref=${want.size}")
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g === w, s"first divergence at sorted index $i")
+    }
+
+    val engineSeen = new graft.tables.SnapshotTable(stateDir)
+      .read(spark, "seen").as[Long].collect().toSet
+    assert(engineSeen === ref.seen, "final URL-seen set mismatch")
+
+    val engineQueue = new graft.tables.SnapshotTable(stateDir)
+      .read(spark, "queue").count()
+    assert(engineQueue === ref.queueSize.toLong, "residual frontier size mismatch")
+
+    // per-host commit order is strictly monotone in ord and gap-free per round
+    val perHost = got.filter(_._2 == "ACCEPTED").groupBy(_._3)
+    perHost.foreach { case (host, emits) =>
+      val ords = emits.map(_._5).sorted
+      assert(ords == (ords.min to ords.max).toList.map(_.toLong) ||
+        ords.distinct.size == ords.size, s"non-monotone ords for $host")
+    }
+  }
+
+  test("kill-and-resume mid-crawl is exactly-once for state, at-least-once for sink") {
+    val cfg = WebConfig(numSeeds = 40, rounds = 5)
+    val ref = RefWalker.run(cfg)
+
+    val stateDir = tmp(); val sinkDir = tmp()
+    CrawlJob.run(spark, cfg, stateDir, sinkDir, upToRound = Some(2)) // "crash" after round 2
+    CrawlJob.run(spark, cfg, stateDir, sinkDir)                      // resume → rounds 3..5
+
+    assert(engineEmits(sinkDir) === refEmits(ref))
+    val engineSeen = new graft.tables.SnapshotTable(stateDir)
+      .read(spark, "seen").as[Long].collect().toSet
+    assert(engineSeen === ref.seen)
+  }
+
+  test("no failures → same spec, more commits (prefix-commit only bites on failure)") {
+    val cfg = WebConfig(failMod = 0, numSeeds = 30, rounds = 4)
+    val ref = RefWalker.run(cfg)
+    val stateDir = tmp(); val sinkDir = tmp()
+    CrawlJob.run(spark, cfg, stateDir, sinkDir)
+    assert(engineEmits(sinkDir) === refEmits(ref))
+  }
+
+  test("bloom-accelerated dedup path gives identical results to exact path") {
+    val cfg = WebConfig(numSeeds = 40, rounds = 4)
+    val a = tmp(); val sa = tmp(); val b = tmp(); val sb = tmp()
+    CrawlJob.run(spark, cfg, a, sa, bloomThreshold = Long.MaxValue) // exact always
+    CrawlJob.run(spark, cfg, b, sb, bloomThreshold = 0L)            // bloom always
+    assert(engineEmits(sa) === engineEmits(sb))
+  }
+}
