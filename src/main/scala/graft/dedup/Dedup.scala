@@ -1,0 +1,170 @@
+package graft.dedup
+
+import graft.functions.SimHash
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each shaped for the
+  * 100 TB case:
+  *
+  *  - exact:       one hash-aggregate (map-side combine), no pairwise work;
+  *  - MinHash+LSH: shingle → k-permutation signature → banded bucket join —
+  *    candidate pairs come from equi-joins on (band, band_hash), never a
+  *    cross join; verification re-checks true Jaccard on candidates only;
+  *  - SimHash:     64-bit signature + rotation-banded equi-join, Hamming
+  *    verified;
+  *  - token-Jaccard: blocked pairwise (block = (lang, length-bucket)) for
+  *    small-to-medium blocks, exact;
+  *  - embedding cosine: sign-LSH bucketed, cosine verified.
+  *
+  * Everything is column expressions (codegen) except nothing — no UDFs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash. Returns one row per distinct
+    * content: (content_hash, keeper_id, dup_count).
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+
+  /** Character k-shingle hashes of a text column (empty-safe). */
+  def shingleHashes(text: Column, k: Int): Column = {
+    val n = length(text)
+    when(n < k, array(xxhash64(text)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), n - k + 1),
+        i => xxhash64(text.substr(i, lit(k))))))
+  }
+
+  /** MinHash signature: element j = min over shingles of the shingle hash
+    * re-hashed with salt j (xxhash64 chaining — k independent hash functions
+    * without 64-bit multiply overflow under ANSI mode). Pure columnar.
+    */
+  def minhashSignature(shingles: Column, numPerms: Int): Column = {
+    val perms = (0 until numPerms).map { j =>
+      array_min(transform(shingles, h => xxhash64(lit(j), h)))
+    }
+    array(perms: _*)
+  }
+
+  /** LSH band keys: hash of each r-element slice of the signature. A pair
+    * agreeing on ANY band becomes a candidate.
+    */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand))): _*)
+
+  /** End-to-end MinHash-LSH near-dup candidates with exact-Jaccard verify.
+    *
+    * @return (id1, id2, jaccard) with id1 < id2, jaccard >= threshold.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 8, numPerms: Int = 32, bands: Int = 8,
+      threshold: Double = 0.6): DataFrame = {
+    val rows = numPerms / bands
+    val sigs = df.select(
+      col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleK).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), numPerms))
+      .withColumn("band_hash", lshBands(col("sig"), bands, rows))
+      .select(col("id"), col("shingles"),
+        posexplode(col("band_hash")).as(Seq("band", "bh")))
+
+    val l = sigs.select(col("band"), col("bh"),
+      col("id").as("id1"), col("shingles").as("sh1"))
+    val r = sigs.select(col("band"), col("bh"),
+      col("id").as("id2"), col("shingles").as("sh2"))
+    val candidates = l.join(r, Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "sh1", "sh2")
+      .dropDuplicates("id1", "id2")
+
+    candidates
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** SimHash near-dups: signature → 4 × 16-bit band equi-join → Hamming
+    * verify. Hamming ≤ maxHamming within any shared band ⇒ near-dup pair.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      SimHash.simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
+    val banded = sigs.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "bh")))
+    val l = banded.select(col("band"), col("bh"), col("id").as("id1"), col("sim").as("s1"))
+    val r = banded.select(col("band"), col("bh"), col("id").as("id2"), col("sim").as("s2"))
+    l.join(r, Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", SimHash.hamming64(col("s1"), col("s2")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
+  /** Exact token-set Jaccard near-dups within blocking keys — for the
+    * medium-scale exact variant (and the oracle-checkable one).
+    * Blocks by (extra blocking cols) to bound the pairwise join.
+    */
+  def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double): DataFrame = {
+    val base = df.select((col(idCol).as("id") +:
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks") +:
+      blockCols.map(col)): _*)
+    val l = base.select((col("id").as("id1") +: col("toks").as("t1") +: blockCols.map(col)): _*)
+    val r = base.select((col("id").as("id2") +: col("toks").as("t2") +: blockCols.map(col)): _*)
+    l.join(r, blockCols)
+      .filter(col("id1") < col("id2"))
+      .withColumn("jaccard",
+        size(array_intersect(col("t1"), col("t2"))).cast("double") /
+          size(array_union(col("t1"), col("t2"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** Embedding near-dups: sign-LSH over `planes` random hyperplanes buckets
+    * the vectors; exact cosine verifies candidates within a bucket.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int = 12, minCosine: Double = 0.95): DataFrame = {
+    val sketch = signSketch(col(vecCol), dim, planes)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"), sketch.as("bucket"))
+    val l = base.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
+    val r = base.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", cosine(col("v1"), col("v2")))
+      .filter(col("cosine") >= minCosine)
+      .select("id1", "id2", "cosine")
+  }
+
+  /** Sign-LSH bucket id: bit p = sign(v · plane_p), planes deterministic. */
+  def signSketch(vec: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val plane = (0 until dim).map { d =>
+        val h = graft.functions.GraftHash.mix64(p * 1009L + d)
+        ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+      }
+      val dot = aggregate(
+        zip_with(vec, lit(plane.toArray), (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Cosine similarity of two float-array columns (codegen'd aggregate). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+}

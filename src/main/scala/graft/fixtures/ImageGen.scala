@@ -1,0 +1,135 @@
+package graft.fixtures
+
+import graft.functions.GraftHash.mix64
+import graft.schema.ImageRow
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Deterministic generator for the image+caption source table
+  * (BASELINE.json input_hint / FIXTURES.md §2): columns
+  * (image_id, bytes, w, h, fmt, caption, phash).
+  *
+  * Rasters are seeded gradient+noise; every fourth image is JPEG q=0.9
+  * (lossy), the rest PNG (lossless) — both via JDK javax.imageio, so the
+  * payload bytes are REAL codec output and the PSNR invariant is exercised
+  * against a genuine lossy round-trip, not a stand-in. Generation runs
+  * distributed (`spark.range(n).mapPartitions`), one image per row, no
+  * driver materialization — the shape that scales to the full table.
+  */
+object ImageGen {
+
+  // 0.97: ImageIO's jpeg writer keeps 4:2:0 chroma subsampling at lower
+  // qualities, which alone drops a colored gradient under the 40 dB gate;
+  // >= 0.95 switches it to 4:4:4 and the round-trip clears 40 dB.
+  val JpegQuality = 0.97f
+
+  def idOf(i: Long): String = f"img$i%010d"
+
+  /** Seeded raster: smooth 2-D gradient + low-amplitude noise (keeps JPEG
+    * PSNR well above the 40 dB gate while still exercising every pixel).
+    */
+  def raster(i: Long): BufferedImage = {
+    val w = 32 + (java.lang.Math.floorMod(mix64(i, 1L), 4L) * 32).toInt // 32..128
+    val h = 32 + (java.lang.Math.floorMod(mix64(i, 2L), 4L) * 32).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val base = mix64(i, 3L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val n = mix64(base, (y.toLong << 20) | x.toLong)
+        def noise(sh: Int): Int = (((n >>> sh) & 0x7) - 4).toInt // ±4
+        val r = clamp((x * 255) / w + noise(0))
+        val g = clamp((y * 255) / h + noise(8))
+        val b = clamp(((x + y) * 255) / (w + h) + noise(16))
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  @inline private def clamp(v: Int): Int = math.max(0, math.min(255, v))
+
+  def fmtOf(i: Long): String = if (i % 4 == 0) "jpeg" else "png"
+
+  def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    fmt match {
+      case "png" =>
+        ImageIO.write(img, "png", bos)
+      case "jpeg" =>
+        val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+        val params = writer.getDefaultWriteParam
+        params.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+        params.setCompressionQuality(JpegQuality)
+        val ios = ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(null, new IIOImage(img, null, null), params)
+        ios.close(); writer.dispose()
+    }
+    bos.toByteArray
+  }
+
+  def captionOf(i: Long): String = {
+    val words = Array("gradient", "noise", "field", "raster", "synthetic",
+      "frame", "texture", "pattern", "sample", "tile")
+    val h = mix64(i, 4L)
+    val picks = (0 until 5).map(k => words(java.lang.Math.floorMod(h >>> (k * 6), 10L).toInt))
+    s"${idOf(i)}: " + picks.mkString(" ")
+  }
+
+  /** 64-bit average perceptual hash: 8x8 grayscale downsample, bit = above mean. */
+  def phashOf(img: BufferedImage): Long = {
+    val g = new Array[Double](64)
+    val cw = img.getWidth / 8.0
+    val ch = img.getHeight / 8.0
+    var k = 0
+    while (k < 64) {
+      val bx = (k % 8 * cw).toInt; val by = (k / 8 * ch).toInt
+      val ex = math.min(img.getWidth, ((k % 8 + 1) * cw).toInt.max(bx + 1))
+      val ey = math.min(img.getHeight, ((k / 8 + 1) * ch).toInt.max(by + 1))
+      var acc = 0.0; var n = 0
+      var y = by
+      while (y < ey) {
+        var x = bx
+        while (x < ex) {
+          val rgb = img.getRGB(x, y)
+          acc += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          n += 1; x += 1
+        }
+        y += 1
+      }
+      g(k) = acc / n
+      k += 1
+    }
+    val mean = g.sum / 64
+    g.zipWithIndex.foldLeft(0L) { case (acc, (v, idx)) =>
+      if (v > mean) acc | (1L << idx) else acc
+    }
+  }
+
+  def rowOf(i: Long): ImageRow = {
+    val img = raster(i)
+    val fmt = fmtOf(i)
+    ImageRow(idOf(i), encode(img, fmt), img.getWidth, img.getHeight, fmt,
+      captionOf(i), phashOf(img))
+  }
+
+  /** Distributed generation of the table. */
+  def generate(spark: SparkSession, n: Long, partitions: Int = 0): Dataset[ImageRow] = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism
+    spark.range(0, n, 1, parts).as[Long].mapPartitions(_.map(rowOf))
+  }
+
+  /** Generate + write as a snapshot-committed table (the engine's input). */
+  def writeTable(spark: SparkSession, dir: String, n: Long): Unit = {
+    val t = new graft.tables.SnapshotTable(dir)
+    t.commit(Map("images" -> generate(spark, n).toDF()))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.dedup
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the non-SQL-oracle dedup operators on a seeded corpus with planted
+  * exact and near duplicates.
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** 60 base docs; ids 1000+i are near-dups of doc i (one word changed) for
+    * i < 10; ids 2000+i are exact dups of doc i for i < 5.
+    */
+  lazy val corpus = {
+    val rnd = new scala.util.Random(42)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val base = (0 until 60).map { i =>
+      (i.toLong, (0 until 40).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val nearDups = base.take(10).map { case (i, text) =>
+      (1000L + i, text.split(" ").updated(3, "CHANGED").mkString(" "))
+    }
+    val exactDups = base.take(5).map { case (i, text) => (2000L + i, text) }
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds planted exact duplicates, keeps min id") {
+    val groups = Dedup.exactDupGroups(corpus, "doc_id", "text")
+    val dups = groups.filter(col("dup_count") > 1).collect()
+    assert(dups.length === 5)
+    assert(dups.forall(_.getAs[Long]("keeper_id") < 60L))
+  }
+
+  test("minhash LSH finds planted near-dups and all exact dups") {
+    val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text", threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // exact dups are jaccard 1.0 — must always be found
+    (0 until 5).foreach { i =>
+      assert(pairs.contains((i.toLong, 2000L + i)), s"missed exact dup $i")
+    }
+    // planted near-dups: one word of 40 changed → shingle jaccard ~0.8
+    val foundNear = (0 until 10).count(i => pairs.contains((i.toLong, 1000L + i)))
+    assert(foundNear >= 8, s"only $foundNear/10 planted near-dups found")
+  }
+
+  test("minhash candidates verified: no pair below the jaccard threshold") {
+    val verified = Dedup.minhashNearDups(corpus, "doc_id", "text", threshold = 0.5)
+      .select("jaccard").as[Double].collect()
+    assert(verified.forall(_ >= 0.5))
+  }
+
+  test("simhash hamming=0 for exact dups, small for near-dups") {
+    val pairs = Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 10)
+      .as[(Long, Long, Int)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    (0 until 5).foreach { i =>
+      assert(byPair.get((i.toLong, 2000L + i)).contains(0), s"exact dup $i hamming != 0")
+    }
+    val near = (0 until 10).flatMap(i => byPair.get((i.toLong, 1000L + i)))
+    assert(near.nonEmpty && near.forall(_ <= 10))
+  }
+
+  test("embedding near-dups: planted near-identical vectors found via sign-LSH") {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 50).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val dups = base.take(8).map { case (i, v) =>
+      (100L + i, v.map(x => x + 0.001f)) // near-identical
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val pairs = Dedup.embeddingNearDups(df, "vec_id", "embedding", dim = 16,
+      planes = 8, minCosine = 0.999)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val found = (0 until 8).count(i => pairs.contains((i.toLong, 100L + i)))
+    assert(found >= 7, s"only $found/8 planted embedding dups found")
+    // verify step: no false pair among random vectors
+    assert(pairs.forall { case (a, b) => b - a == 100L })
+  }
+}

@@ -1,0 +1,50 @@
+package graft.search
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySearchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  lazy val embeddings = spark.read
+    .parquet(s"${SparkTestBase.sfDir}/embeddings.parquet").cache()
+  lazy val query = (0 until 64).map(i => math.sin(i + 1)).toArray
+
+  test("brute-force top-k is deterministic and ordered") {
+    val a = SimilaritySearch.bruteForceTopK(embeddings, "vec_id", "embedding", query, 10)
+      .as[(Long, Double)].collect()
+    val b = SimilaritySearch.bruteForceTopK(embeddings, "vec_id", "embedding", query, 10)
+      .as[(Long, Double)].collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.map(_._2).toSeq === a.map(_._2).sorted(Ordering[Double].reverse).toSeq)
+  }
+
+  test("IVF recall grows with nprobe and reaches exactness at nprobe=nlist") {
+    // embeddings are near-uniform random 64-dim vectors — the worst case for
+    // a coarse quantizer — so absolute recall at small nprobe is inherently
+    // modest; the contract is monotone recall and exactness at full probe.
+    val exact = SimilaritySearch.bruteForceTopK(embeddings, "vec_id", "embedding", query, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val idx = SimilaritySearch.buildIvf(spark, embeddings, "vec_id", "embedding",
+      nlist = 16, iters = 2)
+    def recallAt(nprobe: Int): Double = {
+      val got = SimilaritySearch.searchIvf(idx, query, 10, nprobe)
+        .as[(Long, Double)].collect().map(_._1).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val r4 = recallAt(4); val r8 = recallAt(8); val r16 = recallAt(16)
+    assert(r4 > 0.0, "nprobe=4 found nothing")
+    assert(r8 >= r4 && r16 >= r8, s"recall not monotone: $r4 / $r8 / $r16")
+    assert(r16 === 1.0, "nprobe = nlist must equal brute force")
+    idx.assigned.unpersist()
+  }
+
+  test("IVF cells partition the table (every vector in exactly one cell)") {
+    val idx = SimilaritySearch.buildIvf(spark, embeddings, "vec_id", "embedding",
+      nlist = 8, iters = 1)
+    assert(idx.assigned.count() === embeddings.count())
+    assert(idx.assigned.select("id").distinct().count() === embeddings.count())
+    idx.assigned.unpersist()
+  }
+}
