@@ -38,6 +38,19 @@ object Dedup {
         i => xxhash64(text.substr(i, lit(k))))))
   }
 
+  /** Word n-gram shingle hashes. For natural-ish text, word shingles keep
+    * cross-document Jaccard low (char shingles over a small vocabulary make
+    * *everything* look like a near-dup, which explodes LSH buckets
+    * quadratically — observed on the synthetic documents table).
+    */
+  def wordShingleHashes(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) < n, array(xxhash64(text)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " ")))))
+  }
+
   /** MinHash signature: element j = min over shingles of the shingle hash
     * re-hashed with salt j (xxhash64 chaining — k independent hash functions
     * without 64-bit multiply overflow under ANSI mode). Pure columnar.
@@ -58,35 +71,68 @@ object Dedup {
 
   /** End-to-end MinHash-LSH near-dup candidates with exact-Jaccard verify.
     *
+    * Shape for scale: the band join carries only (id, band, bh) — shingle
+    * arrays are re-joined by id *after* candidate dedup, so the wide arrays
+    * never multiply across bands. Buckets larger than `maxBucket` are
+    * dropped (a bucket that big means the band carries no discriminating
+    * information — e.g. boilerplate); the drop is observable via
+    * [[minhashOversizeBuckets]], not silent.
+    *
     * @return (id1, id2, jaccard) with id1 < id2, jaccard >= threshold.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 8, numPerms: Int = 32, bands: Int = 8,
-      threshold: Double = 0.6): DataFrame = {
+      shingleWords: Int = 3, numPerms: Int = 32, bands: Int = 8,
+      threshold: Double = 0.6, maxBucket: Long = 1000L): DataFrame = {
     val rows = numPerms / bands
+    // localCheckpoint: the signature projection is a large codegen unit and
+    // feeds BOTH sides of the self-join — materialize it once instead of
+    // recomputing per side
     val sigs = df.select(
       col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleK).as("shingles"))
+      wordShingleHashes(col(textCol), shingleWords).as("shingles"))
       .withColumn("sig", minhashSignature(col("shingles"), numPerms))
       .withColumn("band_hash", lshBands(col("sig"), bands, rows))
-      .select(col("id"), col("shingles"),
-        posexplode(col("band_hash")).as(Seq("band", "bh")))
+      .localCheckpoint(true)
 
-    val l = sigs.select(col("band"), col("bh"),
-      col("id").as("id1"), col("shingles").as("sh1"))
-    val r = sigs.select(col("band"), col("bh"),
-      col("id").as("id2"), col("shingles").as("sh2"))
-    val candidates = l.join(r, Seq("band", "bh"))
+    val banded = sigs
+      .select(col("id"), posexplode(col("band_hash")).as(Seq("band", "bh")))
+    val smallBuckets = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select("band", "bh")
+    val pruned = banded.join(smallBuckets, Seq("band", "bh"), "left_semi")
+
+    val candidates = pruned.select(col("band"), col("bh"), col("id").as("id1"))
+      .join(pruned.select(col("band"), col("bh"), col("id").as("id2")), Seq("band", "bh"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2", "sh1", "sh2")
+      .select("id1", "id2")
       .dropDuplicates("id1", "id2")
 
+    val sh = sigs.select(col("id"), col("shingles"))
     candidates
+      .join(sh.select(col("id").as("id1"), col("shingles").as("sh1")), Seq("id1"))
+      .join(sh.select(col("id").as("id2"), col("shingles").as("sh2")), Seq("id2"))
       .withColumn("jaccard",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
+  }
+
+  /** Diagnostic: LSH buckets that exceed `maxBucket` (and are therefore
+    * skipped by [[minhashNearDups]]) — surface this next to the result so
+    * capping is never silent.
+    */
+  def minhashOversizeBuckets(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, numPerms: Int = 32, bands: Int = 8,
+      maxBucket: Long = 1000L): DataFrame = {
+    val rows = numPerms / bands
+    df.select(col(idCol).as("id"),
+        wordShingleHashes(col(textCol), shingleWords).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), numPerms))
+      .select(col("id"), posexplode(lshBands(col("sig"), bands, rows)).as(Seq("band", "bh")))
+      .groupBy("band", "bh").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
   }
 
   /** SimHash near-dups: signature → 4 × 16-bit band equi-join → Hamming

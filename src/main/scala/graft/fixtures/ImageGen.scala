@@ -20,6 +20,10 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object ImageGen {
 
+  // memory-cache imageio streams: the default file-backed cache writes a
+  // temp file PER image — a syscall storm under parallel encode/decode
+  ImageIO.setUseCache(false)
+
   // 0.97: ImageIO's jpeg writer keeps 4:2:0 chroma subsampling at lower
   // qualities, which alone drops a colored gradient under the 40 dB gate;
   // >= 0.95 switches it to 4:4:4 and the round-trip clears 40 dB.

@@ -16,6 +16,9 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object ImageValidate {
 
+  // see ImageGen: avoid file-backed imageio cache streams in executors
+  ImageIO.setUseCache(false)
+
   val PsnrGateDb = 40.0
 
   final case class Verdict(
