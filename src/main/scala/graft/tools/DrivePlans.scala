@@ -1,0 +1,26 @@
+package graft.tools
+import org.apache.spark.sql.functions._
+object DrivePlans {
+  def main(a: Array[String]): Unit = {
+    val spark = graft.GraftSession.get(8)
+    val d = "/root/testdata/sf0.01"
+    def show(name: String): Unit = {
+      println(s"######## $name")
+      graft.SparkEntry.queries(name)(spark, d).explain("formatted")
+    }
+    Seq("q_filter_pushdown", "q_join3", "q_broadcast_join", "q_anti_join",
+      "q_politeness_topk", "q_token_jaccard", "q_url_canon").foreach(show)
+    // frontier schedule plan
+    println("######## scheduler")
+    import spark.implicits._
+    val hostState = spark.createDataset(graft.fixtures.SyntheticWeb.hostStates(graft.fixtures.WebConfig())).toDF()
+    val queue = spark.range(1000).select(
+      concat(lit("http://host"), (col("id")%16).cast("string"), lit(".test/p/"), col("id").cast("string")).as("url"))
+      .select(col("url"), xxhash64(col("url")).as("url_hash"),
+        graft.functions.GraftExpressions.url_host(col("url")).as("host"),
+        graft.functions.GraftExpressions.url_path(col("url")).as("path"),
+        lit(1).as("priority"), col("url_hash").as("seq"))
+    graft.frontier.Scheduler.schedule(queue, hostState, 1000L).explain("formatted")
+    spark.stop()
+  }
+}

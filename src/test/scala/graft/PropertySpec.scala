@@ -1,0 +1,121 @@
+package graft
+
+import graft.crawl.RefWalker
+import graft.fixtures.WebConfig
+import graft.functions.HexCodec
+import graft.ingest.BlockIngest
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY.md §5.4): generator-driven oracles for the lenient
+  * hex contract, the F1 filter, and the prefix-commit/ordering invariants.
+  * ScalaCheck Gens sampled with fixed seeds (no scalatestplus bridge in the
+  * offline cache), so failures are reproducible.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("property: lenient hex decode ≡ BigInt oracle on arbitrary strings") {
+    val hexish = Gen.oneOf(
+      Gen.listOf(Gen.oneOf("0123456789abcdefABCDEF".toSeq)).map("0x" + _.mkString),
+      Gen.listOf(Gen.oneOf("0123456789abcdefxyz $".toSeq)).map(_.mkString),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(n => "0x" + java.lang.Long.toHexString(n)))
+    samples(hexish, 3000).foreach { s =>
+      val got = HexCodec.decodeHexLenient(s)
+      val want: Long = {
+        if (s.length < 2) 0L
+        else {
+          val body = if (s.startsWith("0x") || s.startsWith("0X")) s.drop(2) else s
+          if (body.isEmpty || body.length > 16 ||
+            !body.forall(c => Character.digit(c, 16) >= 0)) 0L
+          else BigInt(body, 16).longValue
+        }
+      }
+      assert(got === want, s"input='$s'")
+    }
+  }
+
+  test("property: F1 filter ≡ brute-force oracle on random logs and configs") {
+    val topicPool = (0 until 6).map(i => s"0xt$i")
+    val addrPool = (0 until 4).map(i => s"0xa$i")
+    case class L(address: String, topics: Seq[String])
+    val genLog = for {
+      a <- Gen.oneOf(addrPool)
+      n <- Gen.chooseNum(0, 4)
+      ts <- Gen.listOfN(n, Gen.oneOf(topicPool))
+    } yield L(a, ts)
+    val genCfg = for {
+      na <- Gen.chooseNum(0, 3)
+      as <- Gen.listOfN(na, Gen.oneOf(addrPool))
+      np <- Gen.chooseNum(0, 3)
+      tp <- Gen.listOfN(np, Gen.chooseNum(0, 2).flatMap(k => Gen.listOfN(k, Gen.oneOf(topicPool))))
+    } yield (as.distinct, tp.map(_.distinct))
+
+    def oracle(logs: Seq[L], addrs: Seq[String], topics: Seq[Seq[String]]): Seq[L] =
+      logs.filter { l =>
+        (addrs.isEmpty || addrs.contains(l.address)) &&
+          topics.size <= l.topics.size &&
+          topics.zipWithIndex.forall { case (alts, i) =>
+            alts.isEmpty || alts.contains(l.topics(i))
+          }
+      }
+
+    val logSets = samples(Gen.listOfN(12, genLog), 12)
+    val cfgs = samples(genCfg, 12)
+    logSets.zip(cfgs).foreach { case (logs, (addrs, topics)) =>
+      val df = Seq(Tuple1(logs.map(l => (l.address, l.topics))))
+        .toDF("raw")
+        .select(transform(col("raw"), e =>
+          struct(e.getField("_1").as("address"), e.getField("_2").as("topics"))).as("logs"))
+      val got = df.select(explode(BlockIngest.filterLogs(col("logs"), addrs, topics)).as("l"))
+        .select(col("l.address"), col("l.topics"))
+        .as[(String, Seq[String])].collect().toSeq
+        .map { case (a, ts) => a + "|" + ts.mkString(",") }
+      val want = oracle(logs, addrs, topics)
+        .map(l => l.address + "|" + l.topics.mkString(","))
+      assert(got.sorted === want.sorted,
+        s"addrs=$addrs topics=$topics logs=$logs")
+    }
+  }
+
+  test("property: per-host ACCEPTED ords are contiguous from 1 (prefix commit never gaps)") {
+    Seq(WebConfig(), WebConfig(seed = 7L, numSeeds = 45, failMod = 5),
+      WebConfig(seed = 9L, numHosts = 4, failMod = 3)).foreach { cfg =>
+      val res = RefWalker.run(cfg)
+      res.emits.filter(_.status == "ACCEPTED").groupBy(_.host).foreach { case (host, es) =>
+        val ords = es.map(_.ord).sorted
+        assert(ords === (1L to ords.size.toLong), s"host=$host cfg=$cfg")
+      }
+      // DROPPED ords must reference previously ACCEPTED ords of that host
+      res.emits.filter(_.status == "DROPPED").foreach { d =>
+        assert(res.emits.exists(e => e.status == "ACCEPTED" && e.host == d.host &&
+          e.ord == d.ord && e.round <= d.round), s"dangling DROPPED $d")
+      }
+    }
+  }
+
+  test("property: walker is deterministic and failure-free runs commit a superset") {
+    val base = WebConfig(seed = 11L, numSeeds = 30, rounds = 4)
+    val a = RefWalker.run(base)
+    val b = RefWalker.run(base)
+    assert(a.emits === b.emits)
+    assert(a.seen === b.seen)
+    val noFail = RefWalker.run(base.copy(failMod = 0))
+    // round 1 starts from the identical schedule in both runs, so failures
+    // can only TRUNCATE each host's committed prefix, never reorder it
+    def round1(r: RefWalker.Result) = r.emits
+      .filter(e => e.round == 1 && e.status == "ACCEPTED")
+      .groupBy(_.host).view.mapValues(_.sortBy(_.ord).map(_.url_hash)).toMap
+    val withFail = round1(a); val clean = round1(noFail)
+    withFail.foreach { case (host, seq) =>
+      assert(clean(host).take(seq.size) === seq,
+        s"host $host round-1 commits are not a prefix of the failure-free run")
+    }
+  }
+}
