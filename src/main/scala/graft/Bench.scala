@@ -62,7 +62,7 @@ object Bench {
     // the same work), which a real 4x-bigger cluster — whose bandwidth
     // scales with nodes — would not. 2→8 keeps the comparison about the
     // ENGINE's scaling, not the host's bus.
-    val n = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "4000000").toLong
+    val n = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "3000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_REPS", "1").toInt
     val loCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "2").toInt
     val hiCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "8").toInt
@@ -123,7 +123,7 @@ object Bench {
     try {
       run(spark, n / 10, budgetBase = 50) // warm-up: jit + codegen, light fetch
       val t0 = System.nanoTime()
-      run(spark, n, budgetBase = 500)
+      run(spark, n, budgetBase = 400)
       (System.nanoTime() - t0) / 1e9
     } finally spark.stop()
   }
