@@ -101,13 +101,40 @@ object CrawlJob {
       .agg((max("seq") + 1).as("next_seq"), lit(1L).as("next_ord"))
     val empty = spark.emptyDataset[(String, Long, Long, Long, String)]
       .toDF("host", "ord", "seq", "url_hash", "url")
-    state.commit(Map(
-      "queue" -> queue,
-      "seen" -> spark.emptyDataset[Long].toDF("url_hash"),
-      "window" -> empty,
-      "hostctr" -> hostctr,
-      "meta" -> Seq((0L)).toDF("round")))
+    val emptySeen = spark.emptyDataset[(Long, Long)].toDF("url_hash", "r")
+    state.commit(
+      Map(
+        "queue" -> queue,
+        "window" -> empty,
+        "hostctr" -> hostctr,
+        "meta" -> Seq((0L)).toDF("round")),
+      appendOnly = Map("seen_add" -> emptySeen, "seen_del" -> emptySeen))
   }
+
+  /** The alive seen-set at the latest snapshot: adds minus later tombstones.
+    * `seen_add`/`seen_del` are APPEND-ONLY (url_hash, round) event segments —
+    * each round writes O(delta), never rewriting the 10^10-row history; a
+    * tombstone (revision retraction) kills only adds at or before its round,
+    * so a later re-fetch of the same URL resurrects it. Tombstones are rare
+    * (bounded by revisions·K), hence the broadcast join: membership is
+    * resolved map-side with no shuffle over the big table.
+    */
+  def readSeen(spark: SparkSession, state: SnapshotTable): DataFrame = {
+    val adds = state.read(spark, "seen_add")
+    val dels = state.read(spark, "seen_del")
+      .groupBy("url_hash").agg(max("r").as("dr"))
+    adds.join(broadcast(dels), Seq("url_hash"), "left")
+      .filter(col("dr").isNull || col("r") > col("dr"))
+      .select("url_hash")
+  }
+
+  def readSeen(spark: SparkSession, stateDir: String): DataFrame =
+    readSeen(spark, new SnapshotTable(stateDir))
+
+  /** Compact the seen event log every this many rounds: rewrite the alive
+    * set as a single segment and clear tombstones.
+    */
+  val SeenCompactionInterval = 8L
 
   private def runRound(spark: SparkSession, cfg: WebConfig, round: Long,
       state: SnapshotTable, sinkDir: String, hostState: DataFrame,
@@ -115,10 +142,13 @@ object CrawlJob {
     import spark.implicits._
 
     var queue = state.read(spark, "queue")
-    var seen = state.read(spark, "seen")
+    val seenBase = readSeen(spark, state)
     var window = state.read(spark, "window")
     var hostctr = state.read(spark, "hostctr")
     val emitParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // this round's seen-set deltas (appended at commit, O(delta) forever)
+    val addParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val delParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
     // ---- 1. scripted revisions (reorg analog): bounded window diff -------
     if (revs.nonEmpty) {
@@ -145,7 +175,7 @@ object CrawlJob {
           col("seq"), col("ord"), col("url_hash"), col("url"),
           pmod(xxhash64(col("url")), lit(10)).cast("int").as("priority"))
         window = window.join(dropped.select("host", "ord"), Seq("host", "ord"), "left_anti")
-        seen = seen.join(dropped.select("url_hash"), Seq("url_hash"), "left_anti")
+        delParts += dropped.select(col("url_hash"), lit(round).as("r"))
 
         // replacements: generated rows, seq/ord from hostctr (driver-side:
         // bounded by revision count, never by data size)
@@ -164,7 +194,7 @@ object CrawlJob {
           col("seq"), col("ord"), col("url_hash"), col("url"),
           pmod(xxhash64(col("url")), lit(10)).cast("int").as("priority"))
         window = window.unionByName(replDf.select("host", "ord", "seq", "url_hash", "url"))
-        seen = seen.unionByName(replDf.select("url_hash"))
+        addParts += replDf.select(col("url_hash"), lit(round).as("r"))
 
         val ctrDelta = active.map { r =>
           val n = math.min(r.depth.toLong, wCounts(r.host)) + r.extra
@@ -229,7 +259,7 @@ object CrawlJob {
         row_number().over(Window.partitionBy(col("host")).orderBy(col("ord").desc)))
       .filter(col("w_rank") <= cfg.windowK)
       .drop("w_rank")
-    seen = seen.unionByName(withOrd.select("url_hash"))
+    addParts += withOrd.select(col("url_hash"), lit(round).as("r"))
     queue = queue.join(withOrd.select("url_hash"), Seq("url_hash"), "left_anti")
 
     // ---- 8. discoveries: canonicalize → hash → dedup → assign seq --------
@@ -242,6 +272,15 @@ object CrawlJob {
       .withColumn("path", url_path(col("url")))
       .withColumn("priority", pmod(xxhash64(col("url")), lit(10)).cast("int"))
       .select("host", "url", "url_hash", "path", "priority")
+
+    // effective seen for discovery dedup = base − this round's tombstones
+    // + this round's adds (revision replacements and committed fetches)
+    val emptySeenDelta = spark.emptyDataset[(Long, Long)].toDF("url_hash", "r")
+    val addsDelta = (addParts :+ emptySeenDelta).reduce(_ unionByName _)
+    val delsDelta = (delParts :+ emptySeenDelta).reduce(_ unionByName _)
+    val seen = seenBase
+      .join(delsDelta.select("url_hash"), Seq("url_hash"), "left_anti")
+      .unionByName(addsDelta.select("url_hash"))
 
     val seenCount = seen.count()
     val notSeen =
@@ -288,10 +327,20 @@ object CrawlJob {
       .withColumn("round", lit(round))
       .write.mode(SaveMode.Overwrite).parquet(f"$sinkDir/metrics-$round%04d")
 
-    state.commit(Map(
-      "queue" -> queue, "seen" -> seen, "window" -> window,
-      "hostctr" -> hostctr,
-      "meta" -> Seq((round)).toDF("round")))
+    if (round % SeenCompactionInterval == 0) {
+      // compaction: fold the event log into one alive segment, clear
+      // tombstones — resume and membership semantics unchanged
+      state.commit(Map(
+        "queue" -> queue, "window" -> window, "hostctr" -> hostctr,
+        "seen_add" -> seen.withColumn("r", lit(round)), // already base−dels+adds
+        "seen_del" -> emptySeenDelta,
+        "meta" -> Seq((round)).toDF("round")))
+    } else {
+      state.commit(
+        Map("queue" -> queue, "window" -> window, "hostctr" -> hostctr,
+          "meta" -> Seq((round)).toDF("round")),
+        appendOnly = Map("seen_add" -> addsDelta, "seen_del" -> delsDelta))
+    }
     state.expireOldSnapshots(keep = 2)
 
     fetchedDf.unpersist(); committed.unpersist(); withOrd.unpersist()

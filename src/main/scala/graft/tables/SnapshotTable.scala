@@ -36,17 +36,40 @@ final class SnapshotTable(val dir: String) {
   }
 
   /** Write all `tables` as parquet under a new snapshot, then atomically
-    * publish it. Returns the new snapshot id.
+    * publish it. `appendOnly` tables write ONLY the given delta as a new
+    * segment; the manifest carries the previous snapshot's segment list
+    * forward — the Iceberg append-commit shape. This is what keeps a
+    * monotonically-growing table (the 10^10-row seen set) O(delta) per
+    * round instead of O(total).
+    *
+    * Returns the new snapshot id.
     */
-  def commit(tables: Map[String, DataFrame]): Long = {
-    val id = latestSnapshot.map(_ + 1).getOrElse(0L)
+  def commit(tables: Map[String, DataFrame],
+      appendOnly: Map[String, DataFrame] = Map.empty): Long = {
+    val prev = latestSnapshot
+    val id = prev.map(_ + 1).getOrElse(0L)
     val sd = snapDir(id)
     Files.createDirectories(sd)
-    val counts = tables.map { case (name, df) =>
+    tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(sd.resolve(name).toString)
-      name -> -1L // counts not materialized: avoid an extra action per table
     }
-    val manifest = counts.keys.toSeq.sorted.mkString("\n")
+    val appended: Map[String, Seq[String]] = appendOnly.map { case (name, df) =>
+      val seg = sd.resolve(name).toString
+      df.write.mode("overwrite").parquet(seg)
+      name -> (prev.map(p => segmentsOf(p, name)).getOrElse(Seq.empty) :+ seg)
+    }
+    // tables present in the previous snapshot but not rewritten or appended
+    // this commit carry their segment list forward untouched
+    val carried: Map[String, Seq[String]] = prev match {
+      case Some(p) => manifestOf(p).view
+        .filterKeys(n => !tables.contains(n) && !appendOnly.contains(n)).toMap
+      case None => Map.empty
+    }
+    val manifest =
+      (tables.keys.map(n => s"$n\t${snapDir(id).resolve(n)}") ++
+        appended.map { case (n, segs) => s"$n\t${segs.mkString("\t")}" } ++
+        carried.map { case (n, segs) => s"$n\t${segs.mkString("\t")}" })
+        .toSeq.sorted.mkString("\n")
     Files.writeString(sd.resolve("MANIFEST"), manifest)
     val tmp = root.resolve(s".LATEST.tmp-$id")
     Files.writeString(tmp, id.toString)
@@ -55,29 +78,58 @@ final class SnapshotTable(val dir: String) {
     id
   }
 
-  /** Read a logical table at the latest (or a pinned) snapshot. */
+  private def manifestOf(id: Long): Map[String, Seq[String]] =
+    Files.readString(snapDir(id).resolve("MANIFEST")).split("\n")
+      .filter(_.nonEmpty)
+      .map { line =>
+        val parts = line.split("\t").toSeq
+        parts.head -> parts.tail
+      }.toMap
+
+  /** Data paths (segments) of a table at a snapshot. */
+  def segmentsOf(id: Long, name: String): Seq[String] = manifestOf(id)(name)
+
+  /** Read a logical table at the latest (or a pinned) snapshot — unions all
+    * of its segments for append-only tables.
+    */
   def read(spark: SparkSession, name: String, snapshot: Option[Long] = None): DataFrame = {
     val id = snapshot.orElse(latestSnapshot).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $dir"))
-    spark.read.parquet(snapDir(id).resolve(name).toString)
+    spark.read.parquet(segmentsOf(id, name): _*)
   }
 
   def tableNames(snapshot: Option[Long] = None): Seq[String] = {
     val id = snapshot.orElse(latestSnapshot).getOrElse(return Seq.empty)
-    Files.readString(snapDir(id).resolve("MANIFEST")).split("\n").toSeq.filter(_.nonEmpty)
+    manifestOf(id).keys.toSeq.sorted
   }
 
-  /** Drop all snapshots older than `keep` behind latest (compaction safety:
-    * never drops the latest, so resume is unaffected — FIXTURES.md §5).
+  /** Drop snapshot DIRECTORIES older than `keep` behind latest, except any
+    * directory still referenced as a segment by the latest manifest
+    * (append-only history stays live until compacted). Never drops latest,
+    * so resume is unaffected — FIXTURES.md §5.
     */
   def expireOldSnapshots(keep: Int = 2): Unit = {
     latestSnapshot.foreach { latest =>
+      val live: Set[Long] = manifestOf(latest).values.flatten
+        .map(p => Paths.get(p).getParent.getFileName.toString)
+        .filter(_.startsWith("snap-"))
+        .map(_.stripPrefix("snap-").toLong).toSet
       Files.list(root).iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("snap-"))
-        .filter(p => p.getFileName.toString.stripPrefix("snap-").toLong < latest - keep + 1)
+        .filter { p =>
+          val sid = p.getFileName.toString.stripPrefix("snap-").toLong
+          sid < latest - keep + 1 && !live.contains(sid)
+        }
         .foreach(deleteRecursively)
     }
   }
+
+  /** Rewrite an append-only table's segments into one (next commit picks it
+    * up as the sole segment) — the compaction seam. Returns the compacted
+    * DataFrame to pass to the next commit's `tables` map.
+    */
+  def compacted(spark: SparkSession, name: String): DataFrame =
+    read(spark, name)
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))

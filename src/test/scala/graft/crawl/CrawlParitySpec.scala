@@ -55,8 +55,7 @@ class CrawlParitySpec extends AnyFunSuite {
       assert(g === w, s"first divergence at sorted index $i")
     }
 
-    val engineSeen = new graft.tables.SnapshotTable(stateDir)
-      .read(spark, "seen").as[Long].collect().toSet
+    val engineSeen = CrawlJob.readSeen(spark, stateDir).as[Long].collect().toSet
     assert(engineSeen === ref.seen, "final URL-seen set mismatch")
 
     val engineQueue = new graft.tables.SnapshotTable(stateDir)
@@ -81,8 +80,7 @@ class CrawlParitySpec extends AnyFunSuite {
     CrawlJob.run(spark, cfg, stateDir, sinkDir)                      // resume → rounds 3..5
 
     assert(engineEmits(sinkDir) === refEmits(ref))
-    val engineSeen = new graft.tables.SnapshotTable(stateDir)
-      .read(spark, "seen").as[Long].collect().toSet
+    val engineSeen = CrawlJob.readSeen(spark, stateDir).as[Long].collect().toSet
     assert(engineSeen === ref.seen)
   }
 
@@ -92,6 +90,20 @@ class CrawlParitySpec extends AnyFunSuite {
     val stateDir = tmp(); val sinkDir = tmp()
     CrawlJob.run(spark, cfg, stateDir, sinkDir)
     assert(engineEmits(sinkDir) === refEmits(ref))
+  }
+
+  test("seen-compaction boundary: 10 rounds with kill/resume across the compaction") {
+    val cfg = WebConfig(numSeeds = 30, rounds = 10)
+    val ref = RefWalker.run(cfg)
+    val stateDir = tmp(); val sinkDir = tmp()
+    CrawlJob.run(spark, cfg, stateDir, sinkDir, upToRound = Some(9)) // past round-8 compaction
+    CrawlJob.run(spark, cfg, stateDir, sinkDir)
+    assert(engineEmits(sinkDir) === refEmits(ref))
+    assert(CrawlJob.readSeen(spark, stateDir).as[Long].collect().toSet === ref.seen)
+    // compaction really folded the log: seen_add has exactly one pre-round-9 segment
+    val segs = new graft.tables.SnapshotTable(stateDir)
+      .segmentsOf(new graft.tables.SnapshotTable(stateDir).latestSnapshot.get, "seen_add")
+    assert(segs.size <= 3, s"compaction did not fold segments: $segs")
   }
 
   test("bloom-accelerated dedup path gives identical results to exact path") {
