@@ -111,6 +111,30 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("sum_qty"))),
+    "q_scalar_subquery" -> ((s, d) => {
+      val avgPrice = t(s, d, "orders").agg(avg(col("o_totalprice"))).head().getDouble(0)
+      t(s, d, "orders").filter(col("o_totalprice") > avgPrice)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_above_avg"))
+    }),
+    "q_in_subquery" -> ((s, d) => {
+      val bigOrders = t(s, d, "orders").filter(col("o_totalprice") > 200000)
+        .select(col("o_orderkey"))
+      t(s, d, "lineitem")
+        .join(bigOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    }),
+    "q_cross_join_small" -> ((s, d) =>
+      t(s, d, "region").crossJoin(t(s, d, "nation").select(col("n_name")))
+        .groupBy(col("r_name")).agg(count(lit(1)).as("n_pairs"))),
+
     // ---- streaming-analog segment stats (SURVEY §2.7 A1, §2.9) ----------
     "q_events_tumbling" -> ((s, d) =>
       t(s, d, "events")
@@ -338,6 +362,24 @@ object SparkEntry {
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty FROM lineitem
          WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05
          GROUP BY l_returnflag""",
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+         coalesce(l_linestatus, 'ALL') AS lstatus,
+         count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_scalar_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_above_avg FROM orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+         GROUP BY o_orderpriority""",
+    "q_in_subquery" ->
+      """SELECT l_returnflag, count(*) AS n,
+         round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem WHERE l_orderkey IN
+           (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
+         GROUP BY l_returnflag""",
+    "q_cross_join_small" ->
+      """SELECT r_name, count(*) AS n_pairs FROM region CROSS JOIN nation
+         GROUP BY r_name""",
     "q_events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
          count(*) AS n, round(sum(value), 2) AS sum_value
