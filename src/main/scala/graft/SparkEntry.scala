@@ -118,8 +118,11 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
           col("n"), col("sum_qty"))),
     "q_scalar_subquery" -> ((s, d) => {
-      val avgPrice = t(s, d, "orders").agg(avg(col("o_totalprice"))).head().getDouble(0)
-      t(s, d, "orders").filter(col("o_totalprice") > avgPrice)
+      // plan-native scalar subquery: broadcast the 1-row aggregate instead of
+      // collecting it on the driver — one plan, no separate driver job
+      val avgPrice = t(s, d, "orders").agg(avg(col("o_totalprice")).as("avg_price"))
+      t(s, d, "orders").crossJoin(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("avg_price"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_above_avg"))
     }),
@@ -385,7 +388,7 @@ object SparkEntry {
          count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
     "q_sessionize" ->
-      """SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events FROM (
+      """SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
            SELECT user_id,
              sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id

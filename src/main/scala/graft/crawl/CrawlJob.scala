@@ -1,7 +1,7 @@
 package graft.crawl
 
 import graft.fixtures.{SyntheticWeb, WebConfig}
-import graft.frontier.{Scheduler, SeenSet}
+import graft.frontier.{BloomSketch, Scheduler, SeenSet}
 import graft.functions.GraftExpressions._
 import graft.tables.SnapshotTable
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
@@ -55,7 +55,8 @@ object CrawlJob {
     * `sinkDir`. Returns the round it stopped after.
     */
   def run(spark: SparkSession, cfg: WebConfig, stateDir: String, sinkDir: String,
-      upToRound: Option[Long] = None, bloomThreshold: Long = 200000L): Long = {
+      upToRound: Option[Long] = None, bloomThreshold: Long = 200000L,
+      maxBloomBroadcastBytes: Long = 64L << 20): Long = {
     import spark.implicits._
     val state = new SnapshotTable(stateDir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(sinkDir))
@@ -75,7 +76,7 @@ object CrawlJob {
     var round = startRound
     while (round <= endRound) {
       runRound(spark, cfg, round, state, sinkDir, hostState,
-        revsByRound.getOrElse(round, Seq.empty), bloomThreshold)
+        revsByRound.getOrElse(round, Seq.empty), bloomThreshold, maxBloomBroadcastBytes)
       round += 1
     }
     endRound
@@ -107,9 +108,15 @@ object CrawlJob {
         "queue" -> queue,
         "window" -> empty,
         "hostctr" -> hostctr,
-        "meta" -> Seq((0L)).toDF("round")),
+        "blooms" -> SeenSet.emptyBlooms(spark, InitialBloomCapPerShard),
+        "meta" -> Seq((0L, 0L, InitialBloomCapPerShard)).toDF("round", "seen_count", "bloom_cap")),
       appendOnly = Map("seen_add" -> emptySeen, "seen_del" -> emptySeen))
   }
+
+  /** Initial bloom sizing (items per shard); compaction resizes with 2×
+    * headroom once the alive count outgrows it, so fpp stays bounded forever.
+    */
+  val InitialBloomCapPerShard = 4096L
 
   /** The alive seen-set at the latest snapshot: adds minus later tombstones.
     * `seen_add`/`seen_del` are APPEND-ONLY (url_hash, round) event segments —
@@ -138,11 +145,16 @@ object CrawlJob {
 
   private def runRound(spark: SparkSession, cfg: WebConfig, round: Long,
       state: SnapshotTable, sinkDir: String, hostState: DataFrame,
-      revs: Seq[SyntheticWeb.Revision], bloomThreshold: Long): Unit = {
+      revs: Seq[SyntheticWeb.Revision], bloomThreshold: Long,
+      maxBloomBroadcastBytes: Long): Unit = {
     import spark.implicits._
 
     var queue = state.read(spark, "queue")
     val seenBase = readSeen(spark, state)
+    // incremental seen-set bookkeeping carried in meta — never recounted by
+    // scanning the (10^10-row at target scale) seen table
+    val (seenCount0, bloomCap) = state.read(spark, "meta")
+      .select(col("seen_count"), col("bloom_cap")).as[(Long, Long)].head()
     var window = state.read(spark, "window")
     var hostctr = state.read(spark, "hostctr")
     val emitParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -277,17 +289,46 @@ object CrawlJob {
     // + this round's adds (revision replacements and committed fetches)
     val emptySeenDelta = spark.emptyDataset[(Long, Long)].toDF("url_hash", "r")
     val addsDelta = (addParts :+ emptySeenDelta).reduce(_ unionByName _)
+      .localCheckpoint(true) // small (O(delta)); feeds count, bloom delta, and commit
     val delsDelta = (delParts :+ emptySeenDelta).reduce(_ unionByName _)
+      .localCheckpoint(true)
     val seen = seenBase
       .join(delsDelta.select("url_hash"), Seq("url_hash"), "left_anti")
       .unionByName(addsDelta.select("url_hash"))
 
-    val seenCount = seen.count()
+    // O(delta) bookkeeping: every tombstone targets a currently-alive window
+    // entry and every add is dedup-guarded, so the alive count is exact
+    val addsCount = addsDelta.count()
+    val delsCount = delsDelta.count()
+    val seenCount = seenCount0 + addsCount - delsCount
+    val isCompaction = round % SeenCompactionInterval == 0
+
+    // bloom maintenance, O(delta): OR-merge this round's adds into the
+    // persisted shard blobs. Compaction rounds instead REBUILD from the
+    // alive set (clears tombstoned bits, resizes with 2× headroom if the
+    // population outgrew the blobs) — O(total) but amortized with the seen
+    // compaction itself, which rewrites the same rows anyway.
+    val newBloomCap =
+      if (isCompaction && seenCount > SeenSet.DefaultShards * bloomCap / 2)
+        math.max(2L * seenCount / SeenSet.DefaultShards, InitialBloomCapPerShard)
+      else bloomCap
+    val blooms =
+      (if (isCompaction) SeenSet.buildBloomsDf(seen, newBloomCap)
+       else if (addsCount == 0) state.read(spark, "blooms")
+       else SeenSet.mergeBlooms(state.read(spark, "blooms"),
+         SeenSet.bloomDelta(addsDelta, bloomCap)))
+        .localCheckpoint(true) // ≤ shards blob rows; used for probe AND commit
+
     val notSeen =
       if (seenCount >= bloomThreshold) {
-        val blooms = SeenSet.buildBlooms(seen, expectedItemsPerShard =
-          math.max(seenCount / SeenSet.DefaultShards * 2, 1024L))
-        SeenSet.filterNew(spark, candidatesRaw, seen, blooms)
+        // probe transport: broadcast while the blob set is small; shard-local
+        // files once it is not (at 10^10 keys the blobs are ~GBs — they must
+        // not ship to every executor)
+        val estBytes = SeenSet.DefaultShards * BloomSketch.sizeBytes(newBloomCap, SeenSet.DefaultFpp)
+        val provider =
+          if (estBytes <= maxBloomBroadcastBytes) SeenSet.broadcastProvider(spark, blooms)
+          else SeenSet.writeShardFiles(blooms, f"${state.dir}/bloomblobs/round-$round%06d")
+        SeenSet.filterNew(spark, candidatesRaw, seen, provider)
       } else SeenSet.filterNewExact(candidatesRaw, seen)
     val fresh = notSeen
       .join(queue.select("url_hash"), Seq("url_hash"), "left_anti")
@@ -327,23 +368,48 @@ object CrawlJob {
       .withColumn("round", lit(round))
       .write.mode(SaveMode.Overwrite).parquet(f"$sinkDir/metrics-$round%04d")
 
-    if (round % SeenCompactionInterval == 0) {
+    val meta = Seq((round, seenCount, newBloomCap)).toDF("round", "seen_count", "bloom_cap")
+    if (isCompaction) {
       // compaction: fold the event log into one alive segment, clear
       // tombstones — resume and membership semantics unchanged
       state.commit(Map(
         "queue" -> queue, "window" -> window, "hostctr" -> hostctr,
         "seen_add" -> seen.withColumn("r", lit(round)), // already base−dels+adds
         "seen_del" -> emptySeenDelta,
-        "meta" -> Seq((round)).toDF("round")))
+        "blooms" -> blooms,
+        "meta" -> meta))
     } else {
       state.commit(
         Map("queue" -> queue, "window" -> window, "hostctr" -> hostctr,
-          "meta" -> Seq((round)).toDF("round")),
+          "blooms" -> blooms, "meta" -> meta),
         appendOnly = Map("seen_add" -> addsDelta, "seen_del" -> delsDelta))
     }
     state.expireOldSnapshots(keep = 2)
+    expireOldBloomBlobs(state.dir, round, keep = 2)
 
     fetchedDf.unpersist(); committed.unpersist(); withOrd.unpersist()
+  }
+
+  /** Drop shard-local bloom blob directories older than `keep` rounds behind
+    * the latest (file-mode probe transport only; a no-op otherwise).
+    */
+  private def expireOldBloomBlobs(stateDir: String, round: Long, keep: Int): Unit = {
+    val root = java.nio.file.Paths.get(stateDir, "bloomblobs")
+    if (java.nio.file.Files.isDirectory(root)) {
+      val s = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("round-"))
+          .filter(_.getFileName.toString.stripPrefix("round-").toLong <= round - keep)
+          .toSeq.foreach { d =>
+            val files = java.nio.file.Files.list(d)
+            try files.iterator().asScala.toSeq.foreach(java.nio.file.Files.deleteIfExists)
+            finally files.close()
+            java.nio.file.Files.deleteIfExists(d)
+          }
+      } finally s.close()
+    }
   }
 
   /** All emitted envelopes across rounds, in the pinned global order. */

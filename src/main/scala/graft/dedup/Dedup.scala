@@ -83,6 +83,9 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, numPerms: Int = 32, bands: Int = 8,
       threshold: Double = 0.6, maxBucket: Long = 1000L): DataFrame = {
+    require(numPerms % bands == 0,
+      s"numPerms ($numPerms) must divide evenly into bands ($bands) — a remainder " +
+        "would silently drop the signature tail from every LSH band")
     val rows = numPerms / bands
     // localCheckpoint: the signature projection is a large codegen unit and
     // feeds BOTH sides of the self-join — materialize it once instead of
@@ -126,6 +129,8 @@ object Dedup {
   def minhashOversizeBuckets(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, numPerms: Int = 32, bands: Int = 8,
       maxBucket: Long = 1000L): DataFrame = {
+    require(numPerms % bands == 0,
+      s"numPerms ($numPerms) must divide evenly into bands ($bands)")
     val rows = numPerms / bands
     df.select(col(idCol).as("id"),
         wordShingleHashes(col(textCol), shingleWords).as("shingles"))

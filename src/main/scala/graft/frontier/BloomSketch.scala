@@ -79,6 +79,13 @@ object BloomSketch {
     BloomSketch(new Array[Long](words), k)
   }
 
+  /** Serialized blob size for the given sizing params (transport planning). */
+  def sizeBytes(expectedItems: Long, fpp: Double): Long = {
+    val n = math.max(expectedItems, 1L)
+    val mBits = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    8L + 8L * math.max(1L, (mBits + 63) / 64)
+  }
+
   def deserialize(bytes: Array[Byte]): BloomSketch = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val k = bb.getInt
@@ -106,6 +113,25 @@ class BloomAgg(expectedItemsPerShard: Long, fpp: Double)
   override def zero: BloomSketch = BloomSketch.create(expectedItemsPerShard, fpp)
   override def reduce(b: BloomSketch, key: Long): BloomSketch = { b.put(key); b }
   override def merge(a: BloomSketch, b: BloomSketch): BloomSketch = a.mergeInPlace(b)
+  override def finish(b: BloomSketch): Array[Byte] = BloomSketch.serialize(b)
+  override def bufferEncoder: Encoder[BloomSketch] = Encoders.product[BloomSketch]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** OR-merge aggregator over already-serialized shard blobs — the per-round
+  * incremental maintenance step (`persisted ∪ delta`), fully distributed:
+  * blobs aggregate where they live and never funnel through the driver.
+  * All inputs of a group must share sizing params ([[BloomSketch.mergeInPlace]]
+  * enforces it); the zero is an empty marker, not a sized sketch, so this
+  * aggregator needs no sizing knowledge of its own.
+  */
+class BloomMergeAgg extends Aggregator[Array[Byte], BloomSketch, Array[Byte]] {
+  private def orMerge(a: BloomSketch, b: BloomSketch): BloomSketch =
+    if (a.bits.isEmpty) b else if (b.bits.isEmpty) a else a.mergeInPlace(b)
+  override def zero: BloomSketch = BloomSketch(Array.emptyLongArray, 0)
+  override def reduce(b: BloomSketch, blob: Array[Byte]): BloomSketch =
+    orMerge(b, BloomSketch.deserialize(blob))
+  override def merge(a: BloomSketch, b: BloomSketch): BloomSketch = orMerge(a, b)
   override def finish(b: BloomSketch): Array[Byte] = BloomSketch.serialize(b)
   override def bufferEncoder: Encoder[BloomSketch] = Encoders.product[BloomSketch]
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY

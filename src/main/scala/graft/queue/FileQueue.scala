@@ -30,11 +30,15 @@ final class FileQueue(val dir: String) {
   private def segments(topic: String): Seq[Long] = {
     val td = topicDir(topic)
     if (!Files.exists(td)) Seq.empty
-    else Files.list(td).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.startsWith("seg-"))
-      .map(_.stripPrefix("seg-").toLong)
-      .toSeq.sorted
+    else {
+      val s = Files.list(td)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("seg-"))
+        .map(_.stripPrefix("seg-").toLong)
+        .toSeq.sorted
+      finally s.close()
+    }
   }
 
   /** Producer: append a DataFrame of envelopes as the next segment. */

@@ -114,13 +114,15 @@ final class SnapshotTable(val dir: String) {
         .map(p => Paths.get(p).getParent.getFileName.toString)
         .filter(_.startsWith("snap-"))
         .map(_.stripPrefix("snap-").toLong).toSet
-      Files.list(root).iterator().asScala
+      val s = Files.list(root)
+      try s.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("snap-"))
         .filter { p =>
           val sid = p.getFileName.toString.stripPrefix("snap-").toLong
           sid < latest - keep + 1 && !live.contains(sid)
         }
-        .foreach(deleteRecursively)
+        .toSeq.foreach(deleteRecursively)
+      finally s.close()
     }
   }
 
@@ -132,8 +134,11 @@ final class SnapshotTable(val dir: String) {
     read(spark, name)
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq.foreach(deleteRecursively)
+      finally s.close()
+    }
     Files.deleteIfExists(p)
   }
 }

@@ -23,9 +23,12 @@ object DriveFrontier {
         (xxhash64(col("url")) % 100000).as("seq"))
     val seen = frontier.filter(col("seq") % 3 === 0).select("url_hash")
     time(s"gen+count cores=$cores")(frontier.count())
-    val blooms = time(s"bloom-build cores=$cores")(
-      SeenSet.buildBlooms(seen, math.max(n / SeenSet.DefaultShards, 1024L)))
-    val fresh = SeenSet.filterNew(spark, frontier, seen, blooms)
+    val provider = time(s"bloom-build cores=$cores") {
+      val blooms = SeenSet.buildBloomsDf(seen,
+        math.max(n / SeenSet.DefaultShards, 1024L)).localCheckpoint(true)
+      SeenSet.broadcastProvider(spark, blooms)
+    }
+    val fresh = SeenSet.filterNew(spark, frontier, seen, provider)
     time(s"dedup cores=$cores")(fresh.count())
     val hostState = spark.range(hosts)
       .select(concat(lit("host"), col("id").cast("string"), lit(".example.com")).as("host"),

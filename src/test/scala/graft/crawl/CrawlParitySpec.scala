@@ -113,4 +113,28 @@ class CrawlParitySpec extends AnyFunSuite {
     CrawlJob.run(spark, cfg, b, sb, bloomThreshold = 0L)            // bloom always
     assert(engineEmits(sa) === engineEmits(sb))
   }
+
+  test("shard-local file-mode bloom probing gives identical results to broadcast mode") {
+    val cfg = WebConfig(numSeeds = 40, rounds = 4)
+    val a = tmp(); val sa = tmp(); val b = tmp(); val sb = tmp()
+    CrawlJob.run(spark, cfg, a, sa, bloomThreshold = 0L) // broadcast probe
+    CrawlJob.run(spark, cfg, b, sb, bloomThreshold = 0L,
+      maxBloomBroadcastBytes = 0L)                       // file-shard probe
+    assert(engineEmits(sa) === engineEmits(sb))
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(b, "bloomblobs")), "file mode never wrote shard blobs")
+  }
+
+  test("bloom state is maintained O(delta): persisted blooms contain every alive key") {
+    val cfg = WebConfig(numSeeds = 30, rounds = 6)
+    val stateDir = tmp(); val sinkDir = tmp()
+    CrawlJob.run(spark, cfg, stateDir, sinkDir, bloomThreshold = 0L)
+    val state = new graft.tables.SnapshotTable(stateDir)
+    val provider = SeenSetTestAccess.provider(spark, state)
+    val alive = CrawlJob.readSeen(spark, stateDir).as[Long].collect()
+    alive.foreach(k => assert(provider.mightContain(k), s"bloom false negative on $k"))
+    // meta's incremental count equals the actual alive count (never recounted by scan)
+    val metaCount = state.read(spark, "meta").select("seen_count").as[Long].head()
+    assert(metaCount === alive.length.toLong)
+  }
 }

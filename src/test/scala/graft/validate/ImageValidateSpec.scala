@@ -24,12 +24,16 @@ class ImageValidateSpec extends AnyFunSuite {
 
   test("validation detects corruption") {
     val good = ImageGen.rowOf(7L)
-    // corrupt: swap payload with a different image's bytes, break caption
+    // corrupt: swap payload with a different image's bytes, break caption.
+    // Two accepted outcomes: validate() throws (e.g. raster size mismatch),
+    // or it returns a verdict that flags both corruptions.
     val bad = good.copy(bytes = ImageGen.rowOf(8L).bytes, caption = good.caption + "!")
-    intercept[Throwable] { // size mismatch or pixel failure must surface
-      val v = ImageValidate.validate(spark, Seq(bad).toDS().toDF()).collect()
-      assert(v.forall(x => x.pixels_ok && x.caption_ok), "corruption not detected")
-      throw new AssertionError("corruption not detected")
+    scala.util.Try(ImageValidate.validate(spark, Seq(bad).toDS().toDF()).collect()) match {
+      case scala.util.Failure(_) => // size mismatch surfaced as an error: OK
+      case scala.util.Success(v) =>
+        assert(v.length === 1)
+        assert(!v.head.pixels_ok, "corrupted pixels not detected")
+        assert(!v.head.caption_ok, "corrupted caption not detected")
     }
   }
 
