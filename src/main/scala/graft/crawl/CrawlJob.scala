@@ -46,7 +46,9 @@ object CrawlJob {
       path: String, seq: Long, priority: Int, host_rank: Int)
   final case class FetchedRow(host: String, url: String, url_hash: Long,
       seq: Long, priority: Int, host_rank: Int, ok: Boolean,
-      image_id: String, outlinks: Seq[String])
+      image_id: String, outlinks: Seq[String], ver: Long)
+  final case class WindowRow(host: String, ord: Long, seq: Long,
+      url_hash: Long, url: String, ver: Long)
 
   val EmitCols = Seq("round", "status", "host", "seq", "ord", "url_hash", "url", "priority")
 
@@ -71,12 +73,11 @@ object CrawlJob {
     val endRound = math.min(upToRound.getOrElse(cfg.rounds.toLong), cfg.rounds.toLong)
 
     val hostState = spark.createDataset(SyntheticWeb.hostStates(cfg)).toDF()
-    val revsByRound = SyntheticWeb.revisions(cfg).groupBy(_.round)
 
     var round = startRound
     while (round <= endRound) {
       runRound(spark, cfg, round, state, sinkDir, hostState,
-        revsByRound.getOrElse(round, Seq.empty), bloomThreshold, maxBloomBroadcastBytes)
+        bloomThreshold, maxBloomBroadcastBytes)
       round += 1
     }
     endRound
@@ -100,8 +101,8 @@ object CrawlJob {
       .select("host", "url", "url_hash", "path", "seq", "priority")
     val hostctr = queue.groupBy("host")
       .agg((max("seq") + 1).as("next_seq"), lit(1L).as("next_ord"))
-    val empty = spark.emptyDataset[(String, Long, Long, Long, String)]
-      .toDF("host", "ord", "seq", "url_hash", "url")
+    val empty = spark.emptyDataset[(String, Long, Long, Long, String, Long)]
+      .toDF("host", "ord", "seq", "url_hash", "url", "ver")
     val emptySeen = spark.emptyDataset[(Long, Long)].toDF("url_hash", "r")
     state.commit(
       Map(
@@ -145,8 +146,7 @@ object CrawlJob {
 
   private def runRound(spark: SparkSession, cfg: WebConfig, round: Long,
       state: SnapshotTable, sinkDir: String, hostState: DataFrame,
-      revs: Seq[SyntheticWeb.Revision], bloomThreshold: Long,
-      maxBloomBroadcastBytes: Long): Unit = {
+      bloomThreshold: Long, maxBloomBroadcastBytes: Long): Unit = {
     import spark.implicits._
 
     var queue = state.read(spark, "queue")
@@ -162,26 +162,27 @@ object CrawlJob {
     val addParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val delParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
-    // ---- 1. scripted revisions (reorg analog): bounded window diff -------
-    if (revs.nonEmpty) {
-      val revHosts = revs.map(_.host)
-      val depthByHost = revs.map(r => r.host -> r).toMap
-      // revision metadata is O(#revised hosts) — the only driver collect
-      val wCounts = window.filter(col("host").isin(revHosts: _*))
-        .groupBy("host").count().as[(String, Long)].collect().toMap
-      val ctrs = hostctr.filter(col("host").isin(revHosts: _*))
-        .select("host", "next_seq", "next_ord").as[(String, Long, Long)]
-        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // ---- 1. DATA-DRIVEN revision detection (reorg analog) ----------------
+    // The reference never receives reorg notifications: it detects one when
+    // fetched data contradicts its window head (cache.Peak().Hash !=
+    // block.ParentHash, /root/reference/crawler/blocks.go:276-288) and only
+    // then walks the bounded window. The analog here: re-read each window
+    // entry's current page version (a K-bounded per-host probe, distributed
+    // exactly like the fetch stage) and compare to the version recorded at
+    // fetch time. Neither this job nor the oracle walker is told which hosts
+    // revised — both observe it.
+    {
+      val probed = window
+        .select("host", "ord", "seq", "url_hash", "url", "ver").as[WindowRow]
+        .mapPartitions(_.map(w =>
+          (w.host, w.ord, w.seq, w.url_hash, w.url, w.ver,
+            SyntheticWeb.pageVersion(cfg, w.url, round))))
+        .toDF("host", "ord", "seq", "url_hash", "url", "ver", "cur_ver")
+      val dropped = probed.filter(col("cur_ver") > col("ver")).persist()
 
-      val active = revs.filter(r => wCounts.getOrElse(r.host, 0L) > 0L).sortBy(_.host)
-      if (active.nonEmpty) {
-        val depths = active.map(r =>
-          (r.host, math.min(r.depth.toLong, wCounts(r.host)), r.extra.toLong))
-          .toDF("host", "rev_depth", "rev_extra")
-        val ranked = window.join(broadcast(depths), Seq("host"))
-          .withColumn("rev_rank",
-            row_number().over(Window.partitionBy(col("host")).orderBy(col("ord").desc)))
-        val dropped = ranked.filter(col("rev_rank") <= col("rev_depth"))
+      // revision metadata is O(#revised hosts) — the only driver collect
+      val revHosts = dropped.select("host").distinct().as[String].collect().sorted
+      if (revHosts.nonEmpty) {
         emitParts += dropped.select(
           lit(round).as("round"), lit("DROPPED").as("status"), col("host"),
           col("seq"), col("ord"), col("url_hash"), col("url"),
@@ -189,34 +190,40 @@ object CrawlJob {
         window = window.join(dropped.select("host", "ord"), Seq("host", "ord"), "left_anti")
         delParts += dropped.select(col("url_hash"), lit(round).as("r"))
 
-        // replacements: generated rows, seq/ord from hostctr (driver-side:
-        // bounded by revision count, never by data size)
-        val repl = active.flatMap { r =>
-          val d = math.min(r.depth.toLong, wCounts(r.host))
-          val (seq0, ord0) = ctrs(r.host)
-          (0 until (d + r.extra).toInt).map { i =>
-            val url = graft.functions.UrlCodec.canonicalize(
-              SyntheticWeb.replacementUrl(r.host, round, i))
-            (r.host, seq0 + i, ord0 + i, graft.functions.GraftHash.xxhash64(url), url)
+        val ctrs = hostctr.filter(col("host").isin(revHosts.toSeq: _*))
+          .select("host", "next_seq", "next_ord").as[(String, Long, Long)]
+          .collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+        // replacements: the pages the revised hosts serve NOW (observable
+        // data, the sidechain analog) — fetched only because a mismatch was
+        // detected, never because a script said so
+        val repl = revHosts.toSeq.flatMap { host =>
+          val (seq0, ord0) = ctrs(host)
+          SyntheticWeb.replacementsFor(cfg, host, round).zipWithIndex.map {
+            case (raw, i) =>
+              val url = graft.functions.UrlCodec.canonicalize(raw)
+              (host, seq0 + i, ord0 + i, graft.functions.GraftHash.xxhash64(url),
+                url, SyntheticWeb.pageVersion(cfg, url, round))
           }
         }
-        val replDf = repl.toDF("host", "seq", "ord", "url_hash", "url")
+        val replDf = repl.toDF("host", "seq", "ord", "url_hash", "url", "ver")
         emitParts += replDf.select(
           lit(round).as("round"), lit("ACCEPTED").as("status"), col("host"),
           col("seq"), col("ord"), col("url_hash"), col("url"),
           pmod(xxhash64(col("url")), lit(10)).cast("int").as("priority"))
-        window = window.unionByName(replDf.select("host", "ord", "seq", "url_hash", "url"))
+        window = window.unionByName(
+          replDf.select("host", "ord", "seq", "url_hash", "url", "ver"))
         addParts += replDf.select(col("url_hash"), lit(round).as("r"))
 
-        val ctrDelta = active.map { r =>
-          val n = math.min(r.depth.toLong, wCounts(r.host)) + r.extra
-          (r.host, n, n)
-        }.toDF("host", "dseq", "dord")
+        val ctrDelta = repl.groupBy(_._1).map { case (h, rows) =>
+          (h, rows.size.toLong, rows.size.toLong)
+        }.toSeq.toDF("host", "dseq", "dord")
         hostctr = hostctr.join(broadcast(ctrDelta), Seq("host"), "left")
           .withColumn("next_seq", col("next_seq") + coalesce(col("dseq"), lit(0L)))
           .withColumn("next_ord", col("next_ord") + coalesce(col("dord"), lit(0L)))
           .drop("dseq", "dord")
       }
+      dropped.unpersist()
     }
 
     // ---- 2. robots gate: permanent discard (never fetched, never seen) ---
@@ -236,7 +243,10 @@ object CrawlJob {
         val ok = !SyntheticWeb.failsAt(cfg, s.url, round)
         FetchedRow(s.host, s.url, s.url_hash, s.seq, s.priority, s.host_rank, ok,
           if (ok) SyntheticWeb.imageIdOf(s.url, cfg.numImages) else null,
-          if (ok) SyntheticWeb.outlinksOf(cfg, s.url) else Seq.empty)
+          if (ok) SyntheticWeb.outlinksOf(cfg, s.url) else Seq.empty,
+          // record the page version seen at fetch time: the revision
+          // detector compares future re-reads against this
+          SyntheticWeb.pageVersion(cfg, s.url, round))
       }
     }
 
@@ -266,7 +276,7 @@ object CrawlJob {
 
     // ---- 7. state updates -------------------------------------------------
     window = window
-      .unionByName(withOrd.select("host", "ord", "seq", "url_hash", "url"))
+      .unionByName(withOrd.select("host", "ord", "seq", "url_hash", "url", "ver"))
       .withColumn("w_rank",
         row_number().over(Window.partitionBy(col("host")).orderBy(col("ord").desc)))
       .filter(col("w_rank") <= cfg.windowK)

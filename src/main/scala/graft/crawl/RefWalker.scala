@@ -18,10 +18,13 @@ import scala.collection.mutable
   *
   * Crawl spec implemented here (and, distributed, in CrawlJob):
   *  round r = 1..R:
-  *   1. scripted revisions for r: retract the host's last d committed window
-  *      entries (emit DROPPED, newest first; remove from seen), substitute
-  *      d+extra replacements (assign fresh seq+ord; emit ACCEPTED, oldest
-  *      first; add to seen+window).
+  *   1. revision detection (DATA-driven, the reorg-trigger analog of
+  *      /root/reference/crawler/blocks.go:276-288): re-read each window
+  *      entry's current page version; entries whose version grew since fetch
+  *      are retracted (emit DROPPED; remove from seen), and — only when a
+  *      mismatch was detected — the host's replacement pages are fetched
+  *      (assign fresh seq+ord; emit ACCEPTED, oldest first; add to
+  *      seen+window). The revision script is never read directly.
   *   2. robots gate: queue entries whose path matches a disallow prefix are
   *      discarded permanently (never fetched, never seen).
   *   3. schedule per host: capacity = min(budget, roundMillis/min_delay_ms);
@@ -41,14 +44,13 @@ object RefWalker {
       url_hash: Long, url: String, priority: Int)
 
   final case class QEntry(url: String, url_hash: Long, path: String, seq: Long, priority: Int)
-  final case class WEntry(ord: Long, seq: Long, url_hash: Long, url: String)
+  final case class WEntry(ord: Long, seq: Long, url_hash: Long, url: String, ver: Long)
 
   final case class Result(emits: Vector[Emit], seen: Set[Long],
       queueSize: Int, fetchedPages: Vector[(Long, String)]) // (url_hash, image_id)
 
   def run(cfg: WebConfig): Result = {
     val hostStates = SyntheticWeb.hostStates(cfg).map(h => h.host -> h).toMap
-    val revs = SyntheticWeb.revisions(cfg).groupBy(_.round)
 
     val queue = mutable.Map[String, mutable.ArrayBuffer[QEntry]]()
     val queuedHashes = mutable.Set[Long]()
@@ -77,31 +79,34 @@ object RefWalker {
     }
 
     for (round <- 1L to cfg.rounds.toLong) {
-      // 1. revisions
-      revs.getOrElse(round, Seq.empty).sortBy(_.host).foreach { rev =>
-        val w = window.getOrElse(rev.host, mutable.ArrayBuffer())
-        if (w.nonEmpty) {
-          val d = math.min(rev.depth, w.size)
-          val dropped = w.sortBy(-_.ord).take(d)
+      // 1. DATA-DRIVEN revision detection: re-read each window entry's
+      // current page version and compare to the version recorded at fetch
+      // time (the parent-hash-mismatch analog) — the walker is never told
+      // which hosts revised; only on a detected mismatch does it fetch the
+      // host's replacement pages.
+      window.keys.toSeq.sorted.foreach { host =>
+        val w = window(host)
+        val dropped = w.filter(e => SyntheticWeb.pageVersion(cfg, e.url, round) > e.ver)
+          .sortBy(-_.ord)
+        if (dropped.nonEmpty) {
           dropped.foreach { e =>
-            emits += Emit(round, "DROPPED", rev.host, e.seq, e.ord, e.url_hash,
+            emits += Emit(round, "DROPPED", host, e.seq, e.ord, e.url_hash,
               e.url, SyntheticWeb.priorityOf(e.url))
             seen -= e.url_hash
           }
-          val keep = w.filterNot(e => dropped.exists(_.ord == e.ord))
-          window(rev.host) = keep
-          (0 until d + rev.extra).foreach { i =>
-            val url = UrlCodec.canonicalize(SyntheticWeb.replacementUrl(rev.host, round, i))
+          window(host) = w.filterNot(e => dropped.exists(_.ord == e.ord))
+          SyntheticWeb.replacementsFor(cfg, host, round).foreach { raw =>
+            val url = UrlCodec.canonicalize(raw)
             val h = GraftHash.xxhash64(url)
-            val seq = nextSeq(rev.host); nextSeq(rev.host) = seq + 1
-            val ord = nextOrd(rev.host); nextOrd(rev.host) = ord + 1
-            emits += Emit(round, "ACCEPTED", rev.host, seq, ord, h, url,
+            val seq = nextSeq(host); nextSeq(host) = seq + 1
+            val ord = nextOrd(host); nextOrd(host) = ord + 1
+            emits += Emit(round, "ACCEPTED", host, seq, ord, h, url,
               SyntheticWeb.priorityOf(url))
             seen += h
-            val wb = window.getOrElseUpdate(rev.host, mutable.ArrayBuffer())
-            wb += WEntry(ord, seq, h, url)
+            val wb = window.getOrElseUpdate(host, mutable.ArrayBuffer())
+            wb += WEntry(ord, seq, h, url, SyntheticWeb.pageVersion(cfg, url, round))
             if (wb.size > cfg.windowK)
-              window(rev.host) = wb.sortBy(_.ord).takeRight(cfg.windowK)
+              window(host) = wb.sortBy(_.ord).takeRight(cfg.windowK)
           }
         }
       }
@@ -131,7 +136,8 @@ object RefWalker {
               queuedHashes -= e.url_hash
               queue(host) = queue(host).filterNot(_.url_hash == e.url_hash)
               val wb = window.getOrElseUpdate(host, mutable.ArrayBuffer())
-              wb += WEntry(ord, e.seq, e.url_hash, e.url)
+              wb += WEntry(ord, e.seq, e.url_hash, e.url,
+                SyntheticWeb.pageVersion(cfg, e.url, round))
               if (wb.size > cfg.windowK)
                 window(host) = wb.sortBy(_.ord).takeRight(cfg.windowK)
               SyntheticWeb.outlinksOf(cfg, e.url).foreach { raw =>

@@ -98,8 +98,15 @@ object SyntheticWeb {
 
   // ---- scripted revisions (the reorg analog, FIXTURES.md §4) -------------
 
-  /** A scripted frontier revision: at `round`, host `host` retracts its last
-    * `depth` committed entries and substitutes `depth + extra` replacements.
+  /** A scripted frontier revision: at `round`, host `host` invalidates the
+    * subset of its already-served pages that [[touches]] selects, and starts
+    * serving `depth + extra` replacement pages.
+    *
+    * The script is INTERNAL to the synthetic web: neither the engine nor the
+    * reference walker reads it. Both observe revisions only through fetched
+    * data — [[pageVersion]] and [[replacementsFor]] — the way blockspider
+    * observes a reorg only through a parent-hash mismatch on fetched blocks
+    * (/root/reference/crawler/blocks.go:276-288).
     */
   final case class Revision(round: Long, host: String, depth: Int, extra: Int)
 
@@ -110,6 +117,33 @@ object SyntheticWeb {
         host = pickHost(cfg, mix64(777L, r)),
         depth = 1 + java.lang.Math.floorMod(mix64(888L, r), 3L).toInt,
         extra = java.lang.Math.floorMod(mix64(999L, r), 2L).toInt)
+    }
+
+  /** Whether a revision invalidates a given page — pure in (rev, url_hash),
+    * ~1/2 of a revised host's pages per event.
+    */
+  private def touches(rev: Revision, urlHash: Long): Boolean =
+    java.lang.Math.floorMod(mix64(urlHash, mix64(rev.round, 0x5eedL)), 2L) == 0
+
+  /** OBSERVABLE page version at `round`: how many revisions of this page's
+    * host have invalidated it so far. A crawler that recorded the version at
+    * fetch time detects a revision by re-reading this and seeing it grow —
+    * the parent-link-mismatch analog. Pure, so the distributed engine and
+    * the serial walker observe the identical web.
+    */
+  def pageVersion(cfg: WebConfig, canonicalUrl: String, round: Long): Long = {
+    val host = UrlCodec.hostOf(canonicalUrl)
+    val h = xxhash64(canonicalUrl)
+    revisions(cfg).count(r => r.host == host && r.round <= round && touches(r, h)).toLong
+  }
+
+  /** OBSERVABLE replacement pages host `host` serves after revising at
+    * `round` (the sidechain-blocks analog) — empty unless a revision event
+    * is live for exactly (host, round).
+    */
+  def replacementsFor(cfg: WebConfig, host: String, round: Long): Seq[String] =
+    revisions(cfg).filter(r => r.host == host && r.round == round).flatMap { r =>
+      (0 until r.depth + r.extra).map(i => replacementUrl(host, round, i))
     }
 
   def replacementUrl(host: String, round: Long, i: Int): String =
