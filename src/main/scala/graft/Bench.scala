@@ -120,9 +120,19 @@ object Bench {
       // pinned heap + ParallelGC: this sandbox kernel pays pathological sys
       // time for page commit/uncommit churn — G1's heap resizing makes the
       // same job up to 5x slower here (measured); both levels get the same
-      // flags so the ratio is honest
-      val cmd = (Seq(java) ++ addOpens ++ Seq(
-        "-Xms12g", "-Xmx12g", "-XX:+UseParallelGC", "-Dspark.ui.enabled=false",
+      // flags so the ratio is honest.
+      // taskset pins the WHOLE process (GC, JIT, Spark daemon threads) to
+      // exactly `cores` host cores — without it the "N-core" level borrows
+      // the 32-core host's capacity through its ~23 default ParallelGC
+      // threads and unpinned service threads, which a real N-core executor
+      // node does not have. This is the standard small-machine emulation.
+      val pin =
+        if (new _root_.java.io.File("/usr/bin/taskset").exists)
+          Seq("/usr/bin/taskset", "-c", s"0-${cores - 1}")
+        else Seq.empty
+      val cmd = (pin ++ Seq(java) ++ addOpens ++ Seq(
+        "-Xms12g", "-Xmx12g", "-XX:+UseParallelGC",
+        s"-XX:ParallelGCThreads=$cores", "-Dspark.ui.enabled=false",
         "-cp", System.getProperty("java.class.path"),
         "graft.Bench", "frontier", cores.toString, n.toString)).toArray
       val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
@@ -150,10 +160,10 @@ object Bench {
       .appName(s"graft-frontier-$cores").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      run(spark, setup(spark, n / 10), budgetBase = 50) // warm-up: jit + codegen
+      run(spark, setup(spark, n / 10), budgetBase = 100) // warm-up: jit + codegen
       val ctx = setup(spark, n)
       val t0 = System.nanoTime()
-      run(spark, ctx, budgetBase = 400)
+      run(spark, ctx, budgetBase = 800)
       (System.nanoTime() - t0) / 1e9
     } finally spark.stop()
   }

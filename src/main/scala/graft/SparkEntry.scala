@@ -240,11 +240,21 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))),
     "q_simhash_neardups" -> ((s, d) => // rows-only: pinned by DedupSpec
       Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text")),
-    "q_embed_neardups" -> ((s, d) => // rows-only LSH path; exact pairs oracled below
+    "q_embed_neardups" -> ((s, d) => // rows-only multi-band LSH; recall pinned by DedupSpec
       Dedup.embeddingNearDups(
         t(s, d, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
         "vec_id", "embedding", dim = 64, minCosine = 0.9)
         .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))),
+    "q_embed_neardups_exact" -> ((s, d) => { // the LSH path's oracled exact twin
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      e.select(col("vec_id").as("id1"), col("v").as("v1"))
+        .join(e.select(col("vec_id").as("id2"), col("v").as("v2")),
+          col("id1") < col("id2"))
+        .withColumn("cos_raw", Dedup.cosine(col("v1"), col("v2")))
+        .filter(col("cos_raw") >= 0.35)
+        .select(col("id1"), col("id2"), round(col("cos_raw"), 4).as("cosine"))
+    }),
 
     // ---- training-data ops: similarity search ----------------------------
     "q_embed_refcos" -> ((s, d) => { // cosine vs all-ones reference vector
@@ -269,10 +279,10 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.bpeIshTokenCount(col("text")).as("n_bpeish"))),
-    "q_text_quality" -> ((s, d) => // rows-only: formula pinned by TextSpec
+    "q_text_quality" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))),
-    "q_langid" -> ((s, d) => // rows-only: accuracy pinned by TextSpec fixtures
+    "q_langid" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
     "q_fingerprint" -> ((s, d) => // rows-only: winnowing pinned by TextSpec
@@ -477,6 +487,52 @@ object SparkEntry {
                 list_sum(list_transform(qv, x -> x * x))), 6) AS cosine
          FROM embeddings, q
          ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+    "q_embed_neardups_exact" ->
+      """WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+         SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_dot_product(a.v, b.v) /
+             sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 4) AS cosine
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v) /
+           sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.35""",
+    "q_text_quality" ->
+      """SELECT doc_id, round((
+           least(len(text) / 500.0, 1.0) +
+           len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) / greatest(len(text), 1.0) +
+           greatest(1.0 - (len(regexp_replace(text, '[^.,;:!?]', '', 'g')) /
+             greatest(len(text), 1.0)) * 4.0, 0.0) +
+           least(len(list_filter(
+             CASE WHEN len(trim(text)) = 0 THEN []
+               ELSE regexp_split_to_array(trim(text), '\s+') END,
+             t -> t IN ('the','a','of','and','to','in','is'))) / 5.0, 1.0)
+         ) / 4.0, 6) AS quality FROM documents""",
+    "q_langid" ->
+      """WITH scored AS (
+           SELECT doc_id,
+             len(list_filter(CASE WHEN len(trim(text)) = 0 THEN []
+                 ELSE regexp_split_to_array(trim(lower(text)), '\s+') END,
+               t -> t IN ('the','and','of','to','is','in','that','it','was','for'))) AS s_en,
+             len(list_filter(CASE WHEN len(trim(text)) = 0 THEN []
+                 ELSE regexp_split_to_array(trim(lower(text)), '\s+') END,
+               t -> t IN ('der','die','das','und','ist','nicht','ein','mit','sich','auf'))) AS s_de,
+             len(list_filter(CASE WHEN len(trim(text)) = 0 THEN []
+                 ELSE regexp_split_to_array(trim(lower(text)), '\s+') END,
+               t -> t IN ('le','la','les','et','est','une','dans','que','pour','pas'))) AS s_fr,
+             len(list_filter(CASE WHEN len(trim(text)) = 0 THEN []
+                 ELSE regexp_split_to_array(trim(lower(text)), '\s+') END,
+               t -> t IN ('el','los','las','es','una','en','que','por','con','para'))) AS s_es,
+             CASE WHEN len(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) * 4
+               >= len(text) THEN 1000 ELSE 0 END AS s_zh
+           FROM documents)
+         SELECT doc_id, CASE
+           WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+           WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+           WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+           WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+           WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+           ELSE 'zh' END AS lang_pred
+         FROM scored""",
     "q_text_stats" ->
       """SELECT doc_id,
          CASE WHEN len(trim(text)) = 0 THEN 0

@@ -88,7 +88,13 @@ object CrawlJob {
     */
   private def seedState(spark: SparkSession, cfg: WebConfig, state: SnapshotTable): Unit = {
     import spark.implicits._
-    val seeds = SyntheticWeb.seedUrls(cfg).zipWithIndex.toDF("raw_url", "seed_idx")
+    // F2 empty-response guard: the reference aborts at startup when its
+    // start block comes back empty ("block not found",
+    // /root/reference/cmd/blockspiderd/main.go:110-115) — a crawl with no
+    // resolvable seeds must fail fast, not commit an empty checkpoint.
+    val rawSeeds = SyntheticWeb.seedUrls(cfg)
+    require(rawSeeds.nonEmpty, "cold start with no seeds (F2 guard: nothing to crawl)")
+    val seeds = rawSeeds.zipWithIndex.toDF("raw_url", "seed_idx")
     val canon = seeds
       .withColumn("url", canonicalize_url(col("raw_url")))
       .withColumn("url_hash", xxhash64(col("url")))

@@ -181,25 +181,72 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
-  /** Embedding near-dups: sign-LSH over `planes` random hyperplanes buckets
-    * the vectors; exact cosine verifies candidates within a bucket.
+  /** Embedding near-dups: MULTI-BAND sign-LSH. Each of `bands` independent
+    * bands hashes the vector's signs against its own `planesPerBand` random
+    * hyperplanes; a pair agreeing on ANY band becomes a candidate (the
+    * minhash-banding shape), and exact cosine verifies candidates.
+    *
+    * Recall math (pinned by DedupSpec): per-plane agreement for a pair at
+    * cosine c is 1 − acos(c)/π; at c = 0.9 that is ≈ 0.856, so one band of
+    * r = 8 planes recalls ≈ 0.29 — but 24 OR-ed bands recall
+    * 1 − (1 − 0.29)^24 ≈ 0.9997. (A single wide band — the round-1 design —
+    * recalled only ~15% at its advertised operating point.)
+    *
+    * Shape for scale: the band join carries only (id, band, bh); vectors
+    * re-join by id after candidate dedup, so they never multiply across
+    * bands. Buckets larger than `maxBucket` are dropped — observable via
+    * [[embeddingOversizeBuckets]], never silent.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, planes: Int = 12, minCosine: Double = 0.95): DataFrame = {
-    val sketch = signSketch(col(vecCol), dim, planes)
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"), sketch.as("bucket"))
-    val l = base.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
-    val r = base.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
-    l.join(r, Seq("bucket"))
+      dim: Int, minCosine: Double = 0.9, bands: Int = 24,
+      planesPerBand: Int = 8, maxBucket: Long = 1000L): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      bandSketches(col(vecCol), dim, bands, planesPerBand).as("sk"))
+      .localCheckpoint(true) // feeds both sides of the self-join
+    val banded = base.select(col("id"), posexplode(col("sk")).as(Seq("band", "bh")))
+    val smallBuckets = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select("band", "bh")
+    val pruned = banded.join(smallBuckets, Seq("band", "bh"), "left_semi")
+
+    val candidates = pruned.select(col("band"), col("bh"), col("id").as("id1"))
+      .join(pruned.select(col("band"), col("bh"), col("id").as("id2")), Seq("band", "bh"))
       .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .dropDuplicates("id1", "id2")
+
+    val vs = base.select(col("id"), col("v"))
+    candidates
+      .join(vs.select(col("id").as("id1"), col("v").as("v1")), Seq("id1"))
+      .join(vs.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
       .withColumn("cosine", cosine(col("v1"), col("v2")))
       .filter(col("cosine") >= minCosine)
       .select("id1", "id2", "cosine")
   }
 
-  /** Sign-LSH bucket id: bit p = sign(v · plane_p), planes deterministic. */
-  def signSketch(vec: Column, dim: Int, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
+  /** Diagnostic twin of [[minhashOversizeBuckets]] for the embedding LSH. */
+  def embeddingOversizeBuckets(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bands: Int = 24, planesPerBand: Int = 8,
+      maxBucket: Long = 1000L): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(bandSketches(col(vecCol), dim, bands, planesPerBand))
+          .as(Seq("band", "bh")))
+      .groupBy("band", "bh").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+
+  /** Per-band sign sketches: element b = the band's `planesPerBand`-bit
+    * sign pattern (bit i = sign(v · plane_{b·planesPerBand+i})), planes
+    * deterministic. Pure columnar, codegen'd.
+    */
+  def bandSketches(vec: Column, dim: Int, bands: Int, planesPerBand: Int): Column =
+    array((0 until bands).map(b => signSketch(vec, dim, planesPerBand,
+      planeOffset = b * planesPerBand)): _*)
+
+  /** Sign-LSH bucket id over planes [offset, offset+planes). */
+  def signSketch(vec: Column, dim: Int, planes: Int, planeOffset: Int = 0): Column = {
+    val bits = (0 until planes).map { i =>
+      val p = planeOffset + i
       val plane = (0 until dim).map { d =>
         val h = graft.functions.GraftHash.mix64(p * 1009L + d)
         ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
@@ -207,7 +254,7 @@ object Dedup {
       val dot = aggregate(
         zip_with(vec, lit(plane.toArray), (x, w) => x * w),
         lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

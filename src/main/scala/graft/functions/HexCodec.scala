@@ -90,6 +90,53 @@ object HexCodec {
     Some(acc)
   }
 
+  /** Strict quantity syntax check — the exact error table of the
+    * reference's checkNumber (/root/reference/util/hexutil.go:176-191):
+    * empty → "empty hex string"; no 0x/0X prefix → "hex string without 0x
+    * prefix"; bare "0x" → "hex string \"0x\""; leading zero digit (length>1)
+    * → "hex number with leading zero digits". Returns the raw digits.
+    */
+  private def checkNumber(str: String): Either[String, String] = {
+    if (str == null || str.isEmpty) Left("empty hex string")
+    else if (!(str.length >= 2 && str.charAt(0) == '0' &&
+        (str.charAt(1) == 'x' || str.charAt(1) == 'X')))
+      Left("hex string without 0x prefix")
+    else {
+      val s = str.substring(2)
+      if (s.isEmpty) Left("hex string \"0x\"")
+      else if (s.length > 1 && s.charAt(0) == '0')
+        Left("hex number with leading zero digits")
+      else Right(s)
+    }
+  }
+
+  /** Strict 0x-hex quantity → BigInt, capped at 256 bits — the reference's
+    * DecodeBig (/root/reference/util/hexutil.go:121-150): checkNumber
+    * syntax, then ">64 digits" → "hex number > 256 bits", then any non-hex
+    * digit → "invalid hex string".
+    */
+  def decodeBigStrict(str: String): Either[String, BigInt] =
+    checkNumber(str).flatMap { s =>
+      if (s.length > 64) Left("hex number > 256 bits")
+      else if (!s.forall(isHexDigit)) Left("invalid hex string")
+      else Right(BigInt(new java.math.BigInteger(s, 16)))
+    }
+
+  /** Strict 0x-hex quantity → uint64 (as signed bit pattern) — the
+    * reference's DecodeUint64 (/root/reference/util/hexutil.go:76-86):
+    * checkNumber syntax, then 16-digit cap → "hex number > 64 bits".
+    */
+  def decodeUint64Strict(str: String): Either[String, Long] =
+    checkNumber(str).flatMap { s =>
+      if (s.length > 16) Left("hex number > 64 bits")
+      else if (!s.forall(isHexDigit)) Left("invalid hex string")
+      else {
+        var acc = 0L
+        s.foreach(c => acc = (acc << 4) | hexVal(c))
+        Right(acc)
+      }
+    }
+
   /** Strict 0x-hex → bytes; errors on empty / missing prefix / odd length. */
   def decodeBytes(str: String): Either[String, Array[Byte]] = {
     if (str == null || str.isEmpty) Left("empty hex string")
@@ -131,4 +178,29 @@ object HexCodec {
     val bd = new java.math.BigDecimal(str).movePointLeft(p).stripTrailingZeros()
     bd.toPlainString
   }
+
+  /** Fixed 8-decimal-place formatting — the reference's FloatToString
+    * (/root/reference/util/util.go:28-32, strconv.FormatFloat(f,'f',8,64)):
+    * round-to-nearest-even on the exact binary value, always 8 fraction
+    * digits, no exponent.
+    */
+  def floatToString(f: Double): String =
+    new java.math.BigDecimal(f)
+      .setScale(8, java.math.RoundingMode.HALF_EVEN).toPlainString
+
+  /** Display padding/truncation of a decimal string — the reference's
+    * BigFloatToString (/root/reference/util/util.go:34-51): no fraction →
+    * append ".00"; 1 fraction digit → pad one zero; else TRUNCATE (not
+    * round) the fraction to `prec` digits. (The reference slices r[1][:prec]
+    * and would panic when 1 < len(frac) < prec; we take min(len, prec) —
+    * the evident intent, deviation documented.)
+    */
+  def bigFloatToString(dec: String, prec: Int): String =
+    dec.split('.') match {
+      case Array(whole) => whole + ".00"
+      case Array(whole, frac) =>
+        if (frac.length == 1) whole + "." + frac + "0"
+        else whole + "." + frac.take(prec)
+      case _ => dec
+    }
 }

@@ -16,9 +16,34 @@ import org.apache.spark.sql.types._
   * converted (the reference's loop is commented out) — the push block
   * carries logs only, each embedding its converted parent transaction;
   * `transactionCount` comes from the event header, not len(transactions).
-  * HMAC ingress verification (U11) is driver-side, out of engine scope.
+  * HMAC ingress verification (U11) is [[isValidSignature]], applied at the
+  * ingress boundary before conversion.
   */
 object PushIngest {
+
+  /** U11: webhook ingress HMAC-SHA256 verification — the reference's
+    * isValidSignature (/root/reference/cmd/transmuted/main.go:67-72):
+    * lower-hex(HMAC_SHA256(signingKey, rawBody)) must equal the presented
+    * signature. Constant-time compare.
+    */
+  def isValidSignature(body: Array[Byte], signingKey: String, signatureHex: String): Boolean = {
+    if (body == null || signingKey == null || signatureHex == null) return false
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      signingKey.getBytes(java.nio.charset.StandardCharsets.UTF_8), "HmacSHA256"))
+    val hex = mac.doFinal(body).map(b => f"${b & 0xff}%02x").mkString
+    java.security.MessageDigest.isEqual(
+      hex.getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      signatureHex.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+  }
+
+  /** The signature an authentic sender attaches (test/fixture side). */
+  def sign(body: Array[Byte], signingKey: String): String = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      signingKey.getBytes(java.nio.charset.StandardCharsets.UTF_8), "HmacSHA256"))
+    mac.doFinal(body).map(b => f"${b & 0xff}%02x").mkString
+  }
 
   private val account = StructType(Seq(StructField("address", StringType)))
 

@@ -58,20 +58,26 @@ object SimilaritySearch {
     IvfIndex(centroids, assignCells(vecs, centroids).persist())
   }
 
-  /** Nearest-centroid assignment as a broadcast join + argmin. */
+  /** Nearest-centroid assignment as a single per-row argmax expression over
+    * a centroid literal — NO join, NO shuffle (the round-1 design was a
+    * broadcast cross-join to n·nlist rows plus a per-id window sort, an
+    * avoidable n·nlist exchange). Ties break toward the lowest cell id
+    * (strict > keeps the first maximum; the literal is cell-ordered).
+    */
   private def assignCells(vecs: DataFrame,
       centroids: Array[(Int, Array[Double])]): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val cents = spark.createDataset(centroids.toSeq).toDF("cell", "c")
-    val scored = vecs.join(broadcast(cents))
-      .withColumn("cos", Dedup.cosine(col("v"), col("c")))
-    scored
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("cos").desc, col("cell").asc)))
-      .filter(col("rn") === 1)
-      .select("id", "v", "cell")
+    val centArr = array(centroids.sortBy(_._1).map { case (cell, c) =>
+      struct(lit(cell).as("cell"), lit(c).as("c"))
+    }: _*)
+    val best = aggregate(
+      centArr,
+      struct(lit(Double.MinValue).as("cos"), lit(-1).as("cell")),
+      (acc, s) => {
+        val cs = Dedup.cosine(col("v"), s.getField("c"))
+        when(cs > acc.getField("cos"),
+          struct(cs.as("cos"), s.getField("cell").as("cell"))).otherwise(acc)
+      })
+    vecs.select(col("id"), col("v"), best.getField("cell").as("cell"))
   }
 
   /** Probe: exact cosine top-k within the `nprobe` nearest cells. */

@@ -125,6 +125,15 @@ class CrawlParitySpec extends AnyFunSuite {
       java.nio.file.Paths.get(b, "bloomblobs")), "file mode never wrote shard blobs")
   }
 
+  test("F2 guard: cold start with zero seeds fails fast, commits nothing") {
+    val stateDir = tmp(); val sinkDir = tmp()
+    intercept[IllegalArgumentException] {
+      CrawlJob.run(spark, WebConfig(numSeeds = 0), stateDir, sinkDir)
+    }
+    assert(new graft.tables.SnapshotTable(stateDir).latestSnapshot.isEmpty,
+      "failed cold start must not leave a committed snapshot")
+  }
+
   test("bloom state is maintained O(delta): persisted blooms contain every alive key") {
     val cfg = WebConfig(numSeeds = 30, rounds = 6)
     val stateDir = tmp(); val sinkDir = tmp()

@@ -73,11 +73,36 @@ class DedupSpec extends AnyFunSuite {
     val df = (base ++ dups).toDF("vec_id", "embedding")
       .withColumn("embedding", col("embedding").cast("array<double>"))
     val pairs = Dedup.embeddingNearDups(df, "vec_id", "embedding", dim = 16,
-      planes = 8, minCosine = 0.999)
+      minCosine = 0.999)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     val found = (0 until 8).count(i => pairs.contains((i.toLong, 100L + i)))
     assert(found >= 7, s"only $found/8 planted embedding dups found")
     // verify step: no false pair among random vectors
     assert(pairs.forall { case (a, b) => b - a == 100L })
+  }
+
+  test("embedding near-dups: cosine-0.9 pairs (not 0.999) recalled at >= 0.9") {
+    // the round-1 single-band design recalled ~15% at this operating point;
+    // multi-band OR-ing must push pair recall to ~1 − (1 − p^r)^L ≈ 0.9997
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    def normalize(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val base = (0 until 40).map(i => (i.toLong, normalize(Array.fill(dim)(rnd.nextGaussian()))))
+    val c = 0.9; val s = math.sqrt(1 - c * c)
+    val planted = base.take(20).map { case (i, u) =>
+      // v = c·u + s·w with w ⊥ u ⇒ cos(u, v) = c exactly
+      val g = Array.fill(dim)(rnd.nextGaussian())
+      val dot = u.zip(g).map { case (a, b) => a * b }.sum
+      val w = normalize(g.zip(u).map { case (gd, ud) => gd - dot * ud })
+      (1000L + i, u.zip(w).map { case (ud, wd) => c * ud + s * wd })
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, "vec_id", "embedding", dim = dim,
+      minCosine = 0.89)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val found = (0 until 20).count(i => pairs.contains((i.toLong, 1000L + i)))
+    assert(found >= 18, s"recall $found/20 < 0.9 at cosine 0.9")
   }
 }

@@ -65,6 +65,57 @@ class HexCodecSpec extends AnyFunSuite {
     assert(HexCodec.decodeHexStrict("0x" + "f" * 17) === None)
   }
 
+  test("U5 strict DecodeBig: the reference's exact error table (hexutil.go:121-160,176-191)") {
+    val errs = Seq(
+      "" -> "empty hex string",
+      "ff" -> "hex string without 0x prefix",
+      "1" -> "hex string without 0x prefix",
+      "0x" -> "hex string \"0x\"",
+      "0x01" -> "hex number with leading zero digits",
+      "0x0000000000000001" -> "hex number with leading zero digits",
+      ("0x" + "1" * 65) -> "hex number > 256 bits",
+      "0xzz" -> "invalid hex string",
+      "0x12g4" -> "invalid hex string")
+    errs.foreach { case (in, want) =>
+      assert(HexCodec.decodeBigStrict(in) === Left(want), s"input=$in")
+    }
+    assert(HexCodec.decodeBigStrict(null) === Left("empty hex string"))
+    // accepted values, including the full 256-bit range and 0X prefix
+    assert(HexCodec.decodeBigStrict("0x0") === Right(BigInt(0)))
+    assert(HexCodec.decodeBigStrict("0X1") === Right(BigInt(1)))
+    assert(HexCodec.decodeBigStrict("0xde0b6b3a7640000") ===
+      Right(BigInt("1000000000000000000")))
+    assert(HexCodec.decodeBigStrict("0x" + "f" * 64) === Right(
+      BigInt("115792089237316195423570985008687907853269984665640564039457584007913129639935")))
+  }
+
+  test("U5 strict DecodeUint64: checkNumber syntax + 64-bit cap") {
+    assert(HexCodec.decodeUint64Strict("0x0") === Right(0L))
+    assert(HexCodec.decodeUint64Strict("0xffffffffffffffff") === Right(-1L))
+    assert(HexCodec.decodeUint64Strict("0x" + "1" * 17) === Left("hex number > 64 bits"))
+    assert(HexCodec.decodeUint64Strict("0x01") === Left("hex number with leading zero digits"))
+    assert(HexCodec.decodeUint64Strict("ff") === Left("hex string without 0x prefix"))
+    assert(HexCodec.decodeUint64Strict("0x") === Left("hex string \"0x\""))
+    assert(HexCodec.decodeUint64Strict("") === Left("empty hex string"))
+  }
+
+  test("U8 FloatToString: fixed 8 decimal places (util.go:28-32)") {
+    assert(HexCodec.floatToString(0.0) === "0.00000000")
+    assert(HexCodec.floatToString(1.0) === "1.00000000")
+    assert(HexCodec.floatToString(1.5) === "1.50000000")
+    assert(HexCodec.floatToString(3.141592653589793) === "3.14159265")
+    assert(HexCodec.floatToString(-1.25) === "-1.25000000")
+    assert(HexCodec.floatToString(123456.123456789) === "123456.12345679")
+  }
+
+  test("U8 BigFloatToString: 2-dp min padding, prec truncation (util.go:34-51)") {
+    assert(HexCodec.bigFloatToString("42", 8) === "42.00")
+    assert(HexCodec.bigFloatToString("42.5", 8) === "42.50")
+    assert(HexCodec.bigFloatToString("42.123456789012", 8) === "42.12345678") // truncate, not round
+    assert(HexCodec.bigFloatToString("42.1299", 2) === "42.12")
+    assert(HexCodec.bigFloatToString("-1.05", 8) === "-1.05")
+  }
+
   test("U6 ABI word to address") {
     val word = "0x" + "0" * 24 + "AbCdEf0123456789aBcDeF0123456789AbCdEf01"
     assert(HexCodec.inputParamsToAddress(word) ===

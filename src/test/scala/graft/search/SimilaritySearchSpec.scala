@@ -47,4 +47,12 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(idx.assigned.select("id").distinct().count() === embeddings.count())
     idx.assigned.unpersist()
   }
+
+  test("IVF assignment plan has no shuffle (per-row argmax, not join+window)") {
+    val idx = SimilaritySearch.buildIvf(spark, embeddings, "vec_id", "embedding",
+      nlist = 8, iters = 1)
+    val plan = idx.assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"cell assignment shuffles:\n$plan")
+    idx.assigned.unpersist()
+  }
 }
