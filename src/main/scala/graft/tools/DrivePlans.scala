@@ -21,6 +21,21 @@ object DrivePlans {
         graft.functions.GraftExpressions.url_path(col("url")).as("path"),
         lit(1).as("priority"), col("url_hash").as("seq"))
     graft.frontier.Scheduler.schedule(queue, hostState, 1000L).explain("formatted")
+
+    // bloom probe: must sit inside a codegen span, not a UDF
+    println("######## bloom probe (SeenSet.filterNew, broadcast provider)")
+    val seen = spark.range(100000).select(xxhash64(col("id")).as("url_hash"))
+    val blooms = graft.frontier.SeenSet.buildBloomsDf(seen, 4096).localCheckpoint(true)
+    val prov = graft.frontier.SeenSet.broadcastProvider(spark, blooms)
+    graft.frontier.SeenSet.filterNew(spark, queue, seen, prov).explain("formatted")
+
+    // IVF assignment: no Exchange — per-row argmax over a centroid literal
+    println("######## ivf assignment")
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val idx = graft.search.SimilaritySearch.buildIvf(spark, emb, "vec_id", "embedding",
+      nlist = 8, iters = 1)
+    idx.assigned.explain("formatted")
+    idx.assigned.unpersist()
     spark.stop()
   }
 }
