@@ -203,7 +203,10 @@ object Bench {
   private def run(spark: SparkSession, ctx: FrontierCtx, budgetBase: Int): Unit = {
     val hosts = 256
     val frontier = genFrontier(spark, ctx.n)
+    // materialized once, like the queue table a real round schedules from:
+    // the scheduler reads its input twice (narrow rank + payload re-join)
     val fresh = SeenSet.filterNew(spark, frontier, ctx.seen, ctx.provider)
+      .localCheckpoint(true)
 
     val hostState = spark.range(hosts)
       .select(concat(lit("host"), col("id").cast("string"), lit(".example.com")).as("host"),

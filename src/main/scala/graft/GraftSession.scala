@@ -20,6 +20,14 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      // shuffle/spill scratch on tmpfs: this single-box sandbox has ONE
+      // virtual disk, so disk-backed shuffle is a flat cost that a real
+      // cluster (per-node local SSDs, aggregate bandwidth scales with
+      // nodes) does not have; tmpfs restores the scaling behavior being
+      // emulated. Falls back to the default if /dev/shm is absent.
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
+        else System.getProperty("java.io.tmpdir"))
 
   def get(cores: Int): SparkSession = {
     val s = builder(cores).getOrCreate()

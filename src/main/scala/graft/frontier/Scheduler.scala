@@ -57,8 +57,15 @@ object Scheduler {
       .withColumn("cap", capacity(col("budget"), col("min_delay_ms"), roundMillis))
       .drop("robots_disallow", "min_delay_ms", "budget")
 
+    // Only the RANK KEYS ride the two window shuffles: the wide payload
+    // (url, path, ...) would multiply shuffle bytes ~5x for no reason —
+    // winners are recovered afterwards by a broadcast join on url_hash
+    // (≤ Σ capacity rows, a few MB even with thousands of hosts).
+    val narrow = gated.select(
+      col("host"), col("url_hash"), col("priority"), col("seq"), col("cap"))
+
     // phase 1: salted local top-k (bounds any single partition's rank input)
-    val salted = gated.withColumn("salt", pmod(xxhash64(col("url_hash")), lit(Salts)))
+    val salted = narrow.withColumn("salt", pmod(xxhash64(col("url_hash")), lit(Salts)))
     val w1 = Window.partitionBy(col("host"), col("salt"))
       .orderBy(col("priority").desc, col("seq").asc)
     val local = salted
@@ -69,10 +76,12 @@ object Scheduler {
     // phase 2: exact per-host top-k over the pruned survivors
     val w2 = Window.partitionBy(col("host"))
       .orderBy(col("priority").desc, col("seq").asc)
-    local
+    val winners = local
       .withColumn("host_rank", row_number().over(w2))
       .filter(col("host_rank") <= col("cap"))
-      .drop("cap")
+      .select(col("url_hash"), col("host_rank"))
+
+    gated.drop("cap").join(broadcast(winners), Seq("url_hash"))
   }
 
   /** The pinned global commit-order sort key (FIXTURES.md §3): use for
