@@ -25,6 +25,7 @@ object EnvelopeStream {
     StructField("url", StringType),
     StructField("host", StringType),
     StructField("seq", LongType),
+    StructField("ord", LongType), // per-host commit position (absent → null)
     StructField("round", LongType),
     StructField("version", IntegerType),
     StructField("ts", TimestampType)))
