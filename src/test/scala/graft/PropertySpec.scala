@@ -118,4 +118,45 @@ class PropertySpec extends AnyFunSuite {
         s"host $host round-1 commits are not a prefix of the failure-free run")
     }
   }
+  test("property: bloom-accelerated, file-shard, and exact dedup agree on random key sets") {
+    val keys = Gen.listOfN(400, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    (0 until 5).foreach { i =>
+      val seen = samples(keys, 1).head.distinct
+      val cands = (samples(keys, 1).head ++ seen.take(seen.size / 3)).distinct
+      val seenDf = seen.toDF("url_hash")
+      val candDf = cands.toDF("url_hash")
+      val blooms = graft.frontier.SeenSet.buildBloomsDf(seenDf, 1024)
+        .localCheckpoint(true)
+      val bc = graft.frontier.SeenSet.broadcastProvider(spark, blooms)
+      val dir = java.nio.file.Files.createTempDirectory(s"prop-blobs-$i").toString
+      val fp = graft.frontier.SeenSet.writeShardFiles(blooms, dir)
+      val exact = graft.frontier.SeenSet.filterNewExact(candDf, seenDf)
+        .as[Long].collect().toSet
+      val viaBc = graft.frontier.SeenSet.filterNew(spark, candDf, seenDf, bc)
+        .as[Long].collect().toSet
+      val viaFile = graft.frontier.SeenSet.filterNew(spark, candDf, seenDf, fp)
+        .as[Long].collect().toSet
+      assert(viaBc === exact, s"broadcast path diverged (iter $i)")
+      assert(viaFile === exact, s"file-shard path diverged (iter $i)")
+      assert(exact === (cands.toSet -- seen.toSet), s"exact path wrong (iter $i)")
+    }
+  }
+
+  test("property: strict DecodeBig round-trips arbitrary 256-bit values and rejects what checkNumber rejects") {
+    val big = Gen.chooseNum(1, 64).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("0123456789abcdef".toSeq)).map(_.mkString))
+    samples(big, 2000).foreach { digits =>
+      val canonical = digits.dropWhile(_ == '0') match { case "" => "0"; case d => d }
+      val in = "0x" + digits
+      val got = HexCodec.decodeBigStrict(in)
+      if (digits.length > 1 && digits.head == '0')
+        assert(got === Left("hex number with leading zero digits"), s"input=$in")
+      else {
+        assert(got === Right(BigInt(canonical, 16)), s"input=$in")
+        // encode minimal and re-decode: identity on canonical forms
+        val enc = "0x" + got.toOption.get.toString(16)
+        assert(HexCodec.decodeBigStrict(enc) === got, s"roundtrip $enc")
+      }
+    }
+  }
 }

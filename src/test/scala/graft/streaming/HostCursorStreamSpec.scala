@@ -68,4 +68,40 @@ class HostCursorStreamSpec extends AnyFunSuite {
         s"host b cursor wrong: ${byHost("b")}")
     } finally q.stop()
   }
+
+  test("integration: the engine's own emits drive the cursor; replaying a round commits nothing") {
+    val cfg = graft.fixtures.WebConfig(numSeeds = 30, rounds = 3)
+    val state = Files.createTempDirectory("cursor-crawl-state").toString
+    val sink = Files.createTempDirectory("cursor-crawl-sink").toString
+    graft.crawl.CrawlJob.run(spark, cfg, state, sink)
+    val emits = graft.crawl.CrawlJob.readEmits(spark, sink)
+
+    // batch-mode flatMapGroupsWithState: one pass over all emits
+    val clean = HostCursorStream.hostCursor(emits)
+      .collect().map(u => u.host -> u).toMap
+    val accepted = emits.filter(col("status") === "ACCEPTED")
+      .groupBy("host").agg(count(lit(1)).as("n"), max("ord").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    accepted.foreach { case (host, (n, maxOrd)) =>
+      val u = clean(host)
+      // every ACCEPTED ord is unique per host → all commit, none duplicate
+      assert(u.n_committed === n, s"$host committed")
+      assert(u.head_ord === maxOrd, s"$host head")
+      assert(u.n_duplicates === 0L, s"$host dups on clean run")
+    }
+
+    // at-least-once: replay round 3's emits on top (producer crashed between
+    // emit and checkpoint) — commits unchanged, replays counted
+    val lastRound = emits.filter(col("round") === 3)
+    val replayed = HostCursorStream.hostCursor(emits.unionByName(lastRound))
+      .collect().map(u => u.host -> u).toMap
+    accepted.foreach { case (host, (n, maxOrd)) =>
+      val u = replayed(host)
+      assert(u.n_committed === n, s"$host committed after replay")
+      assert(u.head_ord === maxOrd, s"$host head after replay")
+    }
+    val replayAccepted = lastRound.filter(col("status") === "ACCEPTED").count()
+    assert(replayed.values.map(_.n_duplicates).sum === replayAccepted,
+      "every replayed ACCEPTED envelope must count as a duplicate")
+  }
 }
