@@ -86,12 +86,24 @@ object SyntheticWeb {
     cfg.failMod > 0 &&
       java.lang.Math.floorMod(mix64(xxhash64(canonicalUrl), round * 0x9e37L), cfg.failMod.toLong) == 0
 
-  /** Politeness + robots side input: one row per host. */
+  /** The robots.txt body host `i` serves (observable data; the gate rules
+    * come from PARSING this, not from a hand-built list).
+    */
+  def robotsTxtOf(cfg: WebConfig, i: Int): String =
+    if (i % 3 == 0)
+      "# synthetic host policy\nUser-agent: noneofus\nDisallow: /\n\nUser-agent: *\nDisallow: /private/\n"
+    else
+      "User-agent: *\nDisallow:\n"
+
+  /** Politeness + robots side input: one row per host; disallow rules are
+    * parsed from the host's robots.txt text via [[graft.frontier.RobotsTxt]].
+    */
   def hostStates(cfg: WebConfig): Seq[HostState] =
     (0 until cfg.numHosts).map { i =>
       HostState(
         host = hostName(i),
-        robots_disallow = if (i % 3 == 0) Seq("/private/") else Seq.empty,
+        robots_disallow =
+          graft.frontier.RobotsTxt.disallowFor(robotsTxtOf(cfg, i), "graftbot"),
         min_delay_ms = 100L + (i % 5) * 100L,
         budget = 2 + (i % 4))
     }
