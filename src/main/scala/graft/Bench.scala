@@ -214,7 +214,10 @@ object Bench {
         (lit(1L) + col("id") % 5).as("min_delay_ms"),
         (lit(budgetBase) + col("id").cast("int") % 100).as("budget"))
 
-    val scheduled = Scheduler.schedule(fresh, hostState, roundMillis = 10000L).persist()
+    // enqueue-time robots gate (the CrawlJob shape): rules ride a broadcast
+    // join over the round's candidates, never a re-purge of stored state
+    val gated = Scheduler.robotsGate(fresh, hostState)
+    val scheduled = Scheduler.schedule(gated, hostState, roundMillis = 10000L).persist()
 
     // fetch + payload validation: decode the page's image and check PSNR
     // against the source raster (ImageValidate semantics, inlined on the

@@ -25,8 +25,11 @@ import scala.collection.mutable
   *      mismatch was detected — the host's replacement pages are fetched
   *      (assign fresh seq+ord; emit ACCEPTED, oldest first; add to
   *      seen+window). The revision script is never read directly.
-  *   2. robots gate: queue entries whose path matches a disallow prefix are
-  *      discarded permanently (never fetched, never seen).
+  *   2. robots gate AT ENQUEUE: a discovered/seed URL whose path matches a
+  *      disallow prefix of its host never enters the queue (never consumes a
+  *      seq, never fetched, never seen) — gate rules are static per host, so
+  *      gating once at enqueue is equivalent to re-gating every round and is
+  *      what keeps the engine's frontier maintenance O(delta)/round.
   *   3. schedule per host: capacity = min(budget, roundMillis/min_delay_ms);
   *      order = (priority desc, seq asc); take `capacity`.
   *   4. fetch in order; first failure in a host's batch stops that host's
@@ -63,8 +66,11 @@ object RefWalker {
 
     def enqueue(host: String, canonical: String): Unit = {
       val h = GraftHash.xxhash64(canonical)
+      val path = UrlCodec.pathOf(canonical)
+      // robots gate at enqueue: disallowed URLs never enter the queue
+      if (hostStates(host).robots_disallow.exists(path.startsWith)) return
       if (!seen.contains(h) && !queuedHashes.contains(h)) {
-        val e = QEntry(canonical, h, UrlCodec.pathOf(canonical),
+        val e = QEntry(canonical, h, path,
           nextSeq(host), SyntheticWeb.priorityOf(canonical))
         nextSeq(host) = nextSeq(host) + 1
         queue.getOrElseUpdate(host, mutable.ArrayBuffer()) += e
@@ -115,14 +121,8 @@ object RefWalker {
       val newlyDiscovered = mutable.ArrayBuffer[(String, String)]() // (host, url)
       queue.keys.toSeq.sorted.foreach { host =>
         val st = hostStates(host)
-        val q = queue(host)
-        // robots gate: permanent discard
-        val (blocked, allowed) =
-          q.partition(e => st.robots_disallow.exists(e.path.startsWith))
-        blocked.foreach(e => queuedHashes -= e.url_hash)
-        queue(host) = allowed
         val cap = math.min(st.budget.toLong, cfg.roundMillis / math.max(st.min_delay_ms, 1L)).toInt
-        val batch = allowed.sortBy(e => (-e.priority, e.seq)).take(cap)
+        val batch = queue(host).sortBy(e => (-e.priority, e.seq)).take(cap)
         var failed = false
         batch.foreach { e =>
           if (!failed) {

@@ -29,7 +29,11 @@ final case class WebConfig(
     maxOutlinks: Int = 3,
     rounds: Int = 6,
     windowK: Int = 8,
-    roundMillis: Long = 1000L)
+    roundMillis: Long = 1000L,
+    // > 0 scripts a CORRELATED revision event: at that round EVERY host
+    // revises at once (the CDN-purge / site-migration case) — exercises the
+    // distributed replacement fetch under fan-out instead of 1-2 hosts
+    correlatedRevRound: Int = 0)
 
 object SyntheticWeb {
   import GraftHash.{mix64, xxhash64}
@@ -122,14 +126,26 @@ object SyntheticWeb {
     */
   final case class Revision(round: Long, host: String, depth: Int, extra: Int)
 
-  def revisions(cfg: WebConfig): Seq[Revision] =
-    Seq(2L, 4L).filter(_ <= cfg.rounds).map { r =>
+  def revisions(cfg: WebConfig): Seq[Revision] = {
+    val scripted = Seq(2L, 4L).filter(_ <= cfg.rounds).map { r =>
       Revision(
         round = r,
         host = pickHost(cfg, mix64(777L, r)),
         depth = 1 + java.lang.Math.floorMod(mix64(888L, r), 3L).toInt,
         extra = java.lang.Math.floorMod(mix64(999L, r), 2L).toInt)
     }
+    val correlated =
+      if (cfg.correlatedRevRound > 0 && cfg.correlatedRevRound <= cfg.rounds)
+        (0 until cfg.numHosts).map { i =>
+          Revision(
+            round = cfg.correlatedRevRound.toLong,
+            host = hostName(i),
+            depth = 1 + java.lang.Math.floorMod(mix64(555L, i.toLong), 2L).toInt,
+            extra = java.lang.Math.floorMod(mix64(666L, i.toLong), 2L).toInt)
+        }
+      else Seq.empty
+    scripted ++ correlated
+  }
 
   /** Whether a revision invalidates a given page — pure in (rev, url_hash),
     * ~1/2 of a revised host's pages per event.

@@ -10,9 +10,6 @@ import org.apache.spark.sql.functions._
   * politeness tick (/root/reference/crawler/crawler.go:42-51).
   *
   * Semantics per batch round:
-  *   - robots gate: a frontier entry whose path matches any of its host's
-  *     disallow prefixes never schedules (the per-sink predicate analog,
-  *     /root/reference/crawler/blocks.go:202-228);
   *   - per-host capacity = min(budget, roundMillis / min_delay_ms) — the
   *     politeness budget;
   *   - per-host order = (priority desc, seq asc): strict, deterministic, the
@@ -21,6 +18,13 @@ import org.apache.spark.sql.functions._
   *   - cross-host interleave pinned by (priority desc, seq asc,
   *     xxhash64(host)) so output is independent of parallelism (SURVEY.md §7
   *     hard part 1).
+  *
+  * The robots gate ([[robotsGate]]) is applied ONCE, at enqueue time — a
+  * frontier entry whose path matches any of its host's disallow prefixes
+  * never enters the queue (the per-sink predicate analog,
+  * /root/reference/crawler/blocks.go:202-228). Gating at enqueue instead of
+  * per-round means the 10^10-row queue is never re-purged: the rules ride a
+  * broadcast join over only the round's O(delta) discoveries.
   *
   * Scale shape: top-k per host is computed in TWO phases so a hot host
   * (Zipf head) never concentrates on one task before reduction — phase 1
@@ -38,29 +42,52 @@ object Scheduler {
   def robotsDisallowed(path: Column, rules: Column): Column =
     exists(rules, rule => startswith(path, rule))
 
+  /** The enqueue-time robots gate: keep only entries whose path clears their
+    * host's disallow rules. `entries` must carry (host, path); the rule
+    * column is consumed here and does not survive. Inner join: an entry for
+    * a host with no known state never schedules anyway, so it never enqueues.
+    *
+    * @param broadcastHostState hint the host-state side as broadcast — right
+    *   while one row per host fits an executor (up to ~10^7 hosts); a
+    *   10^8-host crawl flips this off and relies on a co-bucketed shuffle
+    *   join instead (the host-state table and the queue share the host key).
+    */
+  def robotsGate(entries: DataFrame, hostState: DataFrame,
+      broadcastHostState: Boolean = true): DataFrame = {
+    val hs = hostState.select(col("host"), col("robots_disallow"))
+    val side = if (broadcastHostState) broadcast(hs) else hs
+    entries.join(side, Seq("host"), "inner")
+      .filter(!robotsDisallowed(col("path"), col("robots_disallow")))
+      .drop("robots_disallow")
+  }
+
   /** Per-host fetch capacity for one round of `roundMillis`. */
   def capacity(budget: Column, minDelayMs: Column, roundMillis: Long): Column =
     least(budget, floor(lit(roundMillis) / greatest(minDelayMs, lit(1L))))
       .cast("int")
 
-  /** Select this round's fetch set.
+  /** Select this round's fetch set from an (already robots-gated) queue.
     *
-    * @param queue     frontier entries: url_hash, url, host, seq, priority, path
-    * @param hostState host, robots_disallow, min_delay_ms, budget — small
-    *                  (one row per host) → broadcast join side
+    * @param queue     frontier entries: url_hash, url, host, seq, priority
+    * @param hostState host, min_delay_ms, budget — one row per host
+    * @param broadcastHostState see [[robotsGate]]
     * @return scheduled rows with host_rank (1-based per-host commit order)
     */
-  def schedule(queue: DataFrame, hostState: DataFrame, roundMillis: Long): DataFrame = {
+  def schedule(queue: DataFrame, hostState: DataFrame, roundMillis: Long,
+      broadcastHostState: Boolean = true): DataFrame = {
+    val hs = hostState.select(col("host"), col("min_delay_ms"), col("budget"))
+    val side = if (broadcastHostState) broadcast(hs) else hs
     val gated = queue
-      .join(broadcast(hostState), Seq("host"), "inner")
-      .filter(!robotsDisallowed(col("path"), col("robots_disallow")))
+      .join(side, Seq("host"), "inner")
       .withColumn("cap", capacity(col("budget"), col("min_delay_ms"), roundMillis))
-      .drop("robots_disallow", "min_delay_ms", "budget")
+      .drop("min_delay_ms", "budget")
 
     // Only the RANK KEYS ride the two window shuffles: the wide payload
-    // (url, path, ...) would multiply shuffle bytes ~5x for no reason —
-    // winners are recovered afterwards by a broadcast join on url_hash
-    // (≤ Σ capacity rows, a few MB even with thousands of hosts).
+    // (url, ...) would multiply shuffle bytes ~5x for no reason — winners
+    // are recovered afterwards by a broadcast join on (host, url_hash)
+    // (≤ Σ capacity rows, a few MB even with thousands of hosts). The join
+    // key includes host so an url_hash collision across hosts (expected a
+    // handful at 10^10 URLs) cannot cross-match payload rows.
     val narrow = gated.select(
       col("host"), col("url_hash"), col("priority"), col("seq"), col("cap"))
 
@@ -79,9 +106,9 @@ object Scheduler {
     val winners = local
       .withColumn("host_rank", row_number().over(w2))
       .filter(col("host_rank") <= col("cap"))
-      .select(col("url_hash"), col("host_rank"))
+      .select(col("host"), col("url_hash"), col("host_rank"))
 
-    gated.drop("cap").join(broadcast(winners), Seq("url_hash"))
+    gated.drop("cap").join(broadcast(winners), Seq("host", "url_hash"))
   }
 
   /** The pinned global commit-order sort key (FIXTURES.md §3): use for

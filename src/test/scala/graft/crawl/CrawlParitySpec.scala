@@ -58,8 +58,7 @@ class CrawlParitySpec extends AnyFunSuite {
     val engineSeen = CrawlJob.readSeen(spark, stateDir).as[Long].collect().toSet
     assert(engineSeen === ref.seen, "final URL-seen set mismatch")
 
-    val engineQueue = new graft.tables.SnapshotTable(stateDir)
-      .read(spark, "queue").count()
+    val engineQueue = CrawlJob.readQueue(spark, stateDir).count()
     assert(engineQueue === ref.queueSize.toLong, "residual frontier size mismatch")
 
     // per-host commit order is strictly monotone in ord and gap-free per round
@@ -104,6 +103,50 @@ class CrawlParitySpec extends AnyFunSuite {
     val segs = new graft.tables.SnapshotTable(stateDir)
       .segmentsOf(new graft.tables.SnapshotTable(stateDir).latestSnapshot.get, "seen_add")
     assert(segs.size <= 3, s"compaction did not fold segments: $segs")
+  }
+
+  test("correlated revisions (every host revises in one round): parity holds") {
+    val cfg = WebConfig(numSeeds = 40, rounds = 4, correlatedRevRound = 3)
+    val ref = RefWalker.run(cfg)
+    assert(ref.emits.count(_.status == "DROPPED") > 5,
+      "correlated fixture too weak to exercise the distributed replacement fetch")
+    assert(ref.emits.filter(e => e.round == 3L && e.status == "DROPPED")
+      .map(_.host).distinct.size > 3, "revisions not actually correlated across hosts")
+    val stateDir = tmp(); val sinkDir = tmp()
+    CrawlJob.run(spark, cfg, stateDir, sinkDir)
+    assert(engineEmits(sinkDir) === refEmits(ref))
+    assert(CrawlJob.readSeen(spark, stateDir).as[Long].collect().toSet === ref.seen)
+  }
+
+  test("host-state join without broadcast hint (too-many-hosts regime): parity holds") {
+    val cfg = WebConfig(numSeeds = 30, rounds = 3)
+    val ref = RefWalker.run(cfg)
+    val stateDir = tmp(); val sinkDir = tmp()
+    // disable auto-broadcast so the gate/capacity joins really take the
+    // shuffle path a 10^8-host state table would force
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try CrawlJob.run(spark, cfg, stateDir, sinkDir, broadcastHostState = false)
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(engineEmits(sinkDir) === refEmits(ref))
+  }
+
+  test("queue event log: O(delta) appends per round, folded at compaction") {
+    val cfg = WebConfig(numSeeds = 30, rounds = 10)
+    val ref = RefWalker.run(cfg)
+    val stateDir = tmp(); val sinkDir = tmp()
+    CrawlJob.run(spark, cfg, stateDir, sinkDir)
+    val st = new graft.tables.SnapshotTable(stateDir)
+    val segs = st.segmentsOf(st.latestSnapshot.get, "queue_add")
+    assert(segs.size <= 3, s"queue compaction did not fold segments: $segs")
+    // alive queue equals the walker's residual frontier exactly
+    assert(CrawlJob.readQueue(spark, stateDir).count() === ref.queueSize.toLong)
+    // and the full queue is NOT rewritten between compactions: the two
+    // post-compaction segments are per-round discovery deltas, strictly
+    // smaller than the alive queue
+    val aliveRows = CrawlJob.readQueue(spark, stateDir).count()
+    val lastSeg = spark.read.parquet(segs.last).count()
+    assert(lastSeg < aliveRows, s"last queue segment ($lastSeg rows) looks like a full rewrite")
   }
 
   test("bloom-accelerated dedup path gives identical results to exact path") {

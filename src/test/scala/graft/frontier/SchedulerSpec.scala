@@ -36,10 +36,20 @@ class SchedulerSpec extends AnyFunSuite {
     assert(got.forall(r => r._2 == s"http://${r._1}${r._3}"))
   }
 
-  test("robots gate: disallowed paths never schedule") {
+  test("robots gate (enqueue-time): disallowed paths never enter, so never schedule") {
     val q = queue(Seq(("h1.test", "/private/x", 1L, 9), ("h1.test", "/p/ok", 2L, 0)))
-    val out = Scheduler.schedule(q, hostState(Seq("h1.test")), 10000L)
+    val gated = Scheduler.robotsGate(q, hostState(Seq("h1.test")))
+    assert(gated.select("path").as[String].collect().toSeq === Seq("/p/ok"))
+    val out = Scheduler.schedule(gated, hostState(Seq("h1.test")), 10000L)
     assert(out.select("path").as[String].collect().toSeq === Seq("/p/ok"))
+    // rule column is consumed by the gate, not leaked downstream
+    assert(!gated.columns.contains("robots_disallow"))
+  }
+
+  test("robots gate without broadcast hint (shuffle-join host-state regime)") {
+    val q = queue(Seq(("h1.test", "/private/x", 1L, 9), ("h1.test", "/p/ok", 2L, 0)))
+    val gated = Scheduler.robotsGate(q, hostState(Seq("h1.test")), broadcastHostState = false)
+    assert(gated.select("path").as[String].collect().toSeq === Seq("/p/ok"))
   }
 
   test("hot-host skew stays bounded: a 50k-row host yields exactly cap rows") {
