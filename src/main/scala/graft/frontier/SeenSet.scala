@@ -71,20 +71,39 @@ object SeenSet {
   }
 
   object FileShardProvider {
+    // One blob DIRECTORY resident per executor JVM at a time: dirs are
+    // per-round (stateDir/bloomblobs/round-NNNNNN), so without eviction a
+    // long crawl accumulates every past round's sketches (~12 GB/round at
+    // the 10^10-key target) until executors OOM. Loading from a new dir
+    // drops the previous dir's entries; keys still embed the dir, so a
+    // straggler task of the old round can never read a wrong shard — it
+    // just re-loads its blob on demand.
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[String, BloomSketch]()
+    @volatile private var cacheDir: String = ""
     def shardFile(dir: String, i: Int): java.nio.file.Path =
       java.nio.file.Paths.get(dir, f"shard-$i%05d.bloom")
-    private def load(dir: String, i: Int): BloomSketch =
+    private def load(dir: String, i: Int): BloomSketch = {
+      if (cacheDir != dir) synchronized {
+        if (cacheDir != dir) { cache.clear(); cacheDir = dir }
+      }
       cache.computeIfAbsent(s"$dir#$i", _ =>
         BloomSketch.deserialize(java.nio.file.Files.readAllBytes(shardFile(dir, i))))
+    }
+    private[frontier] def residentEntries: Int = cache.size()
   }
 
   // ---- building & maintaining bloom state ---------------------------------
 
   /** Per-shard delta blooms from a batch of adds: one row per shard PRESENT
-    * in `adds` — `(shard int, sketch binary)`. O(|adds|) work, one shuffle of
-    * ≤ `shards` fixed-size blobs (map-side partial merge), never of keys.
+    * in `adds` — `(shard int, sketch binary)`. Keys are ROUTED to their
+    * shard's partition before aggregating: a map-side partial agg would
+    * instead allocate one full capPerShard-sized sketch per (map task ×
+    * shard present) — at 10^10 keys / 64 shards that is ~187 MB per buffer,
+    * so even a tiny delta could allocate and shuffle many GB of
+    * full-capacity sketches per round (and a compaction-time full build
+    * would hold shards × 187 MB per task). After the route exactly one
+    * buffer exists per shard; the exchange moves only the O(|adds|) keys.
     * Sizing params must match the persisted blooms or the OR-merge refuses.
     */
   def bloomDelta(adds: DataFrame, capPerShard: Long, fpp: Double = DefaultFpp,
@@ -92,6 +111,7 @@ object SeenSet {
     val bloomUdaf = udaf(new BloomAgg(capPerShard, fpp))
     adds
       .select(col("url_hash"), pmod(col("url_hash"), lit(shards)).cast("int").as("shard"))
+      .repartition(shards, col("shard"))
       .groupBy(col("shard"))
       .agg(bloomUdaf(col("url_hash")).as("sketch"))
   }

@@ -1,7 +1,8 @@
 package graft.search
 
 import graft.dedup.Dedup
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -29,6 +30,36 @@ object SimilaritySearch {
 
   final case class IvfIndex(centroids: Array[(Int, Array[Double])], assigned: DataFrame)
 
+  /** Aggregation buffer: elementwise vector sum + row count per group. */
+  final case class VecSum(sum: Array[Double], n: Long)
+
+  /** Array-summing aggregator for the Lloyd centroid update (the BloomAgg
+    * pattern): map-side partials hold ONE dim-length buffer per (task ×
+    * cell) and the exchange carries ≤ nlist × partitions partial sums — the
+    * posexplode alternative shuffles n·dim scalar ROWS per iteration, which
+    * at 10^10 × 64 is a 10^12-row exchange for a centroid table that fits
+    * in a hand.
+    */
+  private final class VecMeanAgg(dim: Int)
+      extends Aggregator[Array[Double], VecSum, Array[Double]] {
+    override def zero: VecSum = VecSum(new Array[Double](dim), 0L)
+    override def reduce(b: VecSum, v: Array[Double]): VecSum = {
+      var i = 0
+      while (i < dim) { b.sum(i) += v(i); i += 1 }
+      VecSum(b.sum, b.n + 1)
+    }
+    override def merge(a: VecSum, b: VecSum): VecSum = {
+      var i = 0
+      while (i < dim) { a.sum(i) += b.sum(i); i += 1 }
+      VecSum(a.sum, a.n + b.n)
+    }
+    override def finish(b: VecSum): Array[Double] =
+      if (b.n == 0L) b.sum else b.sum.map(_ / b.n)
+    override def bufferEncoder: Encoder[VecSum] = Encoders.product[VecSum]
+    override def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
   /** Build an IVF index: deterministic init (first `nlist` distinct vectors
     * by id), `iters` Lloyd steps, final cell assignment.
     */
@@ -41,21 +72,26 @@ object SimilaritySearch {
     var centroids: Array[(Int, Array[Double])] =
       vecs.orderBy("id").limit(nlist).as[(Long, Array[Double])].collect()
         .zipWithIndex.map { case ((_, v), i) => (i, v) }
+    val dim = centroids.headOption.map(_._2.length).getOrElse(0)
 
-    var assigned: DataFrame = null
     (0 until math.max(iters, 1)).foreach { _ =>
-      assigned = assignCells(vecs, centroids)
-      val newCentroids = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy("cell", "d").agg(avg("x").as("m"))
-        .groupBy("cell").agg(sort_array(collect_list(struct(col("d"), col("m")))).as("dm"))
-        .select(col("cell"), transform(col("dm"), e => e("m")).as("c"))
+      val newCentroids = lloydStep(vecs, centroids, dim)
         .as[(Int, Array[Double])].collect()
       if (newCentroids.nonEmpty)
         centroids = newCentroids.sortBy(_._1)
-      assigned = null
     }
     IvfIndex(centroids, assignCells(vecs, centroids).persist())
+  }
+
+  /** One Lloyd iteration: assign → per-cell vector mean. Exposed for plan
+    * tests: the aggregate must exchange ≤ nlist × partitions partial sums,
+    * never explode to n·dim rows.
+    */
+  private[search] def lloydStep(vecs: DataFrame,
+      centroids: Array[(Int, Array[Double])], dim: Int): DataFrame = {
+    val vecMean = udaf(new VecMeanAgg(dim))
+    assignCells(vecs, centroids)
+      .groupBy("cell").agg(vecMean(col("v")).as("c"))
   }
 
   /** Nearest-centroid assignment as a single per-row argmax expression over

@@ -63,6 +63,25 @@ class SeenSetSpec extends AnyFunSuite {
     assert(out === probes.filterNot(keys.toSet).toSet)
   }
 
+  test("file-shard blob cache evicts older rounds' dirs (no unbounded residency)") {
+    val keys = (1L to 1000L).map(_ * 17L)
+    val blooms = SeenSet.buildBloomsDf(seenDf(keys), 1024).localCheckpoint(true)
+    val dirA = java.nio.file.Files.createTempDirectory("graft-blobs-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-blobs-b").toString
+    val provA = SeenSet.writeShardFiles(blooms, dirA)
+    val provB = SeenSet.writeShardFiles(blooms, dirB)
+    keys.take(200).foreach(provA.mightContain) // load round-A shards
+    val afterA = SeenSet.FileShardProvider.residentEntries
+    assert(afterA > 0)
+    keys.take(200).foreach(provB.mightContain) // next round: dir changes
+    // round A's sketches were dropped — residency is one dir's worth, not
+    // cumulative across rounds
+    assert(SeenSet.FileShardProvider.residentEntries <= SeenSet.DefaultShards,
+      s"cache kept ${SeenSet.FileShardProvider.residentEntries} entries across dirs")
+    // and correctness is unaffected either side of the eviction
+    keys.foreach(k => assert(provB.mightContain(k) && provA.mightContain(k)))
+  }
+
   test("probe expression stays inside whole-stage codegen") {
     val blooms = SeenSet.buildBloomsDf(seenDf(Seq(1L, 2L)), 1024)
     val provider = SeenSet.broadcastProvider(spark, blooms)

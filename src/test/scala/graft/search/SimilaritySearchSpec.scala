@@ -48,6 +48,35 @@ class SimilaritySearchSpec extends AnyFunSuite {
     idx.assigned.unpersist()
   }
 
+  test("Lloyd update: array-sum aggregate (no n·dim explode), centroids exact means") {
+    val dim = 64
+    def v(hot: Int, scale: Double) =
+      (0 until dim).map(d => if (d == hot) scale else 0.01 * (d + 1)).toArray
+    // ids 0 and 1 seed the two initial centroids; the rest split cleanly
+    val rows = Seq(
+      (0L, v(0, 5.0)), (1L, v(1, 5.0)),
+      (2L, v(0, 4.0)), (3L, v(0, 6.0)),
+      (4L, v(1, 4.0)), (5L, v(1, 6.0)))
+    val df = rows.toDF("vec_id", "embedding")
+    val vecs = df.selectExpr("vec_id as id", "embedding as v")
+    val init = rows.take(2).zipWithIndex.map { case ((_, vv), i) => (i, vv) }.toArray
+    val step = SimilaritySearch.lloydStep(vecs, init, dim)
+    // no Generate (posexplode) anywhere: the update is one hash aggregate
+    val plan = step.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"Lloyd update explodes vectors:\n$plan")
+    // centroids are the exact componentwise means of their members
+    val got = step.as[(Int, Array[Double])].collect().sortBy(_._1)
+    val want = Seq(
+      0 -> Seq(0L, 2L, 3L), 1 -> Seq(1L, 4L, 5L)).map { case (c, ids) =>
+      val vs = ids.map(i => rows(i.toInt)._2)
+      c -> (0 until dim).map(d => vs.map(_(d)).sum / vs.size).toArray
+    }
+    got.zip(want).foreach { case ((gc, gv), (wc, wv)) =>
+      assert(gc === wc)
+      gv.zip(wv).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+    }
+  }
+
   test("IVF assignment plan has no shuffle (per-row argmax, not join+window)") {
     val idx = SimilaritySearch.buildIvf(spark, embeddings, "vec_id", "embedding",
       nlist = 8, iters = 1)

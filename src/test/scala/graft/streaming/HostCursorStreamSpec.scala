@@ -13,20 +13,29 @@ class HostCursorStreamSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
+  private def counters(s: HostCursorStream.CursorState) =
+    (s.headOrd, s.committed, s.retracted, s.duplicates)
+
   test("advance: replays are duplicates, commits monotone, drops counted") {
-    val s0 = HostCursorStream.CursorState(0, 0, 0, 0)
+    val s0 = HostCursorStream.CursorState.empty
     val s1 = HostCursorStream.advance(s0,
       Seq(("ACCEPTED", 1L), ("ACCEPTED", 2L), ("ACCEPTED", 3L)))
-    assert(s1 === HostCursorStream.CursorState(3, 3, 0, 0))
+    assert(counters(s1) === ((3L, 3L, 0L, 0L)))
     // full replay of the same round (producer crashed between emit and
     // checkpoint): zero new commits
     val s2 = HostCursorStream.advance(s1,
       Seq(("ACCEPTED", 1L), ("ACCEPTED", 2L), ("ACCEPTED", 3L)))
-    assert(s2 === HostCursorStream.CursorState(3, 3, 0, 3))
+    assert(counters(s2) === ((3L, 3L, 0L, 3L)))
     // revision retraction + new commits, arriving out of order
     val s3 = HostCursorStream.advance(s2,
       Seq(("ACCEPTED", 5L), ("DROPPED", 3L), ("ACCEPTED", 4L)))
-    assert(s3 === HostCursorStream.CursorState(5, 5, 1, 3))
+    assert(counters(s3) === ((5L, 5L, 1L, 3L)))
+    // replayed DROPPED is a duplicate, not a second retraction
+    val s4 = HostCursorStream.advance(s3, Seq(("DROPPED", 3L)))
+    assert(counters(s4) === ((5L, 5L, 1L, 4L)))
+    // a NEW retraction still counts
+    val s5 = HostCursorStream.advance(s4, Seq(("DROPPED", 5L)))
+    assert(counters(s5) === ((5L, 5L, 2L, 4L)))
   }
 
   test("streaming end-to-end: per-host state survives micro-batches, replay adds nothing") {
@@ -70,7 +79,9 @@ class HostCursorStreamSpec extends AnyFunSuite {
   }
 
   test("integration: the engine's own emits drive the cursor; replaying a round commits nothing") {
-    val cfg = graft.fixtures.WebConfig(numSeeds = 30, rounds = 3)
+    // correlated revisions at round 2 guarantee DROPPED envelopes, so the
+    // replay below exercises retraction idempotence, not just commits
+    val cfg = graft.fixtures.WebConfig(numSeeds = 30, rounds = 3, correlatedRevRound = 2)
     val state = Files.createTempDirectory("cursor-crawl-state").toString
     val sink = Files.createTempDirectory("cursor-crawl-sink").toString
     graft.crawl.CrawlJob.run(spark, cfg, state, sink)
@@ -90,18 +101,38 @@ class HostCursorStreamSpec extends AnyFunSuite {
       assert(u.n_duplicates === 0L, s"$host dups on clean run")
     }
 
-    // at-least-once: replay round 3's emits on top (producer crashed between
-    // emit and checkpoint) — commits unchanged, replays counted
-    val lastRound = emits.filter(col("round") === 3)
-    val replayed = HostCursorStream.hostCursor(emits.unionByName(lastRound))
+    // cursor totals ≡ the independent walker's totals: committed = the
+    // walker's unique ACCEPTED set per host, retracted = its DROPPED count
+    val ref = graft.crawl.RefWalker.run(cfg)
+    val refAccepted = ref.emits.filter(_.status == "ACCEPTED").groupBy(_.host)
+    val refDropped = ref.emits.filter(_.status == "DROPPED").groupBy(_.host)
+    assert(refDropped.nonEmpty, "fixture exercised no retractions")
+    refAccepted.foreach { case (host, es) =>
+      assert(clean(host).n_committed === es.map(_.ord).distinct.size.toLong,
+        s"$host cursor committed != walker unique ACCEPTED")
+      assert(clean(host).n_retracted ===
+        refDropped.getOrElse(host, Seq.empty).size.toLong,
+        s"$host cursor retracted != walker DROPPED")
+    }
+
+    // at-least-once: replay round 2's emits on top (producer crashed between
+    // emit and checkpoint). Round 2 contains DROPPED envelopes — commits AND
+    // retractions must be unchanged; every replayed envelope is a duplicate.
+    val replayRound = emits.filter(col("round") === 2)
+    assert(replayRound.filter(col("status") === "DROPPED").count() > 0,
+      "replayed round must contain retractions to pin DROPPED idempotence")
+    val replayed = HostCursorStream.hostCursor(emits.unionByName(replayRound))
       .collect().map(u => u.host -> u).toMap
     accepted.foreach { case (host, (n, maxOrd)) =>
       val u = replayed(host)
       assert(u.n_committed === n, s"$host committed after replay")
       assert(u.head_ord === maxOrd, s"$host head after replay")
+      assert(u.n_retracted === clean(host).n_retracted,
+        s"$host retracted must not double-count on replay")
     }
-    val replayAccepted = lastRound.filter(col("status") === "ACCEPTED").count()
-    assert(replayed.values.map(_.n_duplicates).sum === replayAccepted,
-      "every replayed ACCEPTED envelope must count as a duplicate")
+    val replayCount = replayRound.filter(
+      col("status").isin("ACCEPTED", "DROPPED")).count()
+    assert(replayed.values.map(_.n_duplicates).sum === replayCount,
+      "every replayed envelope must count as a duplicate")
   }
 }
