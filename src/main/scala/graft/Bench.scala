@@ -87,8 +87,17 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_REPS", "3").toInt
     val loCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "2").toInt
     val hiCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "8").toInt
-    val tLo = (1 to reps).map(_ => frontierSecsIsolated(loCores, n)).min
-    val tHi = (1 to reps).map(_ => frontierSecsIsolated(hiCores, n)).min
+    // one DISCARDED run per level before its timed reps, identical treatment
+    // for both levels: the first isolated run after a different heavy job is
+    // up to 30% slow on this kernel (page reclaim of the previous JVM's
+    // pages), which min-of-reps only partly absorbs — measured round 2 as
+    // the 0.80-vs-0.87 gap between the driver run and an idle box.
+    def level(cores: Int): Double = {
+      frontierSecsIsolated(cores, n) // discarded: eats the reclaim penalty
+      (1 to reps).map(_ => frontierSecsIsolated(cores, n)).min
+    }
+    val tLo = level(loCores)
+    val tHi = level(hiCores)
     val eff = (tLo / tHi) / (hiCores.toDouble / loCores)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
@@ -221,9 +230,14 @@ object Bench {
 
     // fetch + payload validation: decode the page's image and check PSNR
     // against the source raster (ImageValidate semantics, inlined on the
-    // deterministic generator)
+    // deterministic generator). Repartition to ~4 tasks/core first: the
+    // compute-dominant stage must not inherit the scheduler's few output
+    // partitions, or one straggler task hides a whole core at the 4N level.
     import spark.implicits._
-    val validated = scheduled.select(pmod(col("url_hash"), lit(4096)).as("img"))
+    val fetchParts = spark.sparkContext.defaultParallelism * 4
+    val validated = scheduled
+      .select(pmod(col("url_hash"), lit(4096)).as("img"))
+      .repartition(fetchParts, col("img"))
       .as[Long].mapPartitions(_.map { i =>
         val img = graft.fixtures.ImageGen.raster(i)
         val fmt = graft.fixtures.ImageGen.fmtOf(i)

@@ -235,16 +235,33 @@ object SparkEntry {
         t(s, d, "documents").withColumn("len_bucket", floor(col("n_chars") / 100)),
         "doc_id", "text", Seq("lang", "len_bucket"), 0.55)
         .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))),
-    "q_minhash_neardups" -> ((s, d) => // rows-only: pinned by DedupSpec
+    "q_minhash_neardups" -> ((s, d) => // oracled: exact word-3-shingle Jaccard twin
       Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text")
         .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))),
     "q_simhash_neardups" -> ((s, d) => // rows-only: pinned by DedupSpec
       Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text")),
-    "q_embed_neardups" -> ((s, d) => // rows-only multi-band LSH; recall pinned by DedupSpec
-      Dedup.embeddingNearDups(
-        t(s, d, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
-        "vec_id", "embedding", dim = 64, minCosine = 0.9)
-        .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))),
+    "q_embed_neardups" -> ((s, d) => {
+      // Multi-band sign-LSH at cosine 0.9 over the embeddings table with
+      // PLANTED near-dups (the raw driver table has no pairs ≥ 0.9, which
+      // made this row vacuous): ids < 20 get an exact twin (+1e6, cosine
+      // 1.0) and ids in [20, 40) a first-coordinate sign-flip (+2e6,
+      // cosine = 1 − 2·v₁²/‖v‖², ~0.9–0.999 on this data). Fully oracled:
+      // the oracle computes the exact pair set on the same augmented table,
+      // so the hash match asserts LSH recall = 1 on every planted pair AND
+      // verify-exactness (LSH ⊆ exact holds by construction of the verify
+      // stage; the oracle pins exact ⊆ LSH too).
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val twins = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val flips = e.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          concat(array(-element_at(col("embedding"), 1)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      val aug = e.unionByName(twins).unionByName(flips)
+      Dedup.embeddingNearDups(aug, "vec_id", "embedding", dim = 64, minCosine = 0.9)
+        .select(col("id1"), col("id2"), round(col("cosine"), 4).as("cosine"))
+    }),
     "q_embed_neardups_exact" -> ((s, d) => { // the LSH path's oracled exact twin
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -474,6 +491,36 @@ object SparkEntry {
            ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.id < b.id
          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
            len(list_distinct(list_concat(a.toks, b.toks))) >= 0.55""",
+    "q_minhash_neardups" ->
+      """WITH toks AS (
+           SELECT doc_id AS id, text, regexp_split_to_array(trim(text), '\s+') AS tk
+           FROM documents),
+         sh AS (
+           SELECT id, CASE WHEN len(tk) < 3 THEN [text]
+             ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
+           FROM toks)
+         SELECT a.id AS id1, b.id AS id2,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+         FROM sh a JOIN sh b ON a.id < b.id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           len(list_distinct(list_concat(a.s, b.s))) >= 0.6""",
+    "q_embed_neardups" ->
+      """WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         aug AS (
+           SELECT vec_id, v FROM e
+           UNION ALL SELECT vec_id + 1000000 AS vec_id, v FROM e WHERE vec_id < 20
+           UNION ALL SELECT vec_id + 2000000 AS vec_id,
+             list_concat([-v[1]], v[2:]) AS v FROM e
+             WHERE vec_id >= 20 AND vec_id < 40)
+         SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_dot_product(a.v, b.v) /
+             sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 4) AS cosine
+         FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v) /
+           sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.9""",
     "q_embed_refcos" ->
       """SELECT vec_id, round(
            list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) /

@@ -22,6 +22,15 @@ object DrivePlans {
         lit(1).as("priority"), col("url_hash").as("seq"))
     graft.frontier.Scheduler.schedule(queue, hostState, 1000L).explain("formatted")
 
+    // frontier queue delta log: alive view = add segments minus BROADCAST
+    // del tombstones — one columnar pass, no shuffle of the big table
+    println("######## queue delta-log alive view (CrawlJob.readQueue)")
+    val cfg = graft.fixtures.WebConfig(numSeeds = 20, rounds = 2)
+    val st = java.nio.file.Files.createTempDirectory("plans-state").toString
+    val sk = java.nio.file.Files.createTempDirectory("plans-sink").toString
+    graft.crawl.CrawlJob.run(spark, cfg, st, sk)
+    graft.crawl.CrawlJob.readQueue(spark, st).explain("formatted")
+
     // bloom probe: must sit inside a codegen span, not a UDF
     println("######## bloom probe (SeenSet.filterNew, broadcast provider)")
     val seen = spark.range(100000).select(xxhash64(col("id")).as("url_hash"))

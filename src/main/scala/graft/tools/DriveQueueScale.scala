@@ -1,0 +1,76 @@
+package graft.tools
+
+import graft.fixtures.WebConfig
+import graft.frontier.SeenSet
+import graft.tables.SnapshotTable
+import org.apache.spark.sql.functions._
+
+/** Evidence for the O(delta + scheduled)/round queue contract: run the SAME
+  * crawl round against pre-seeded frontiers of different sizes (same hosts,
+  * same politeness caps → identical scheduled count per round) and report
+  * per-round wall time. A round whose cost grows with TOTAL queued rows —
+  * the round-2 design rewrote the full queue as parquet and anti-joined it
+  * three times per round — shows a ~Q× slope here; the delta-committed
+  * queue's only O(Q) term is one columnar scan of the alive queue, so
+  * per-round time should stay near-flat from 1M to 10M queued rows.
+  *
+  *   sbt -batch 'runMain graft.tools.DriveQueueScale 8 1000000,10000000 3'
+  */
+object DriveQueueScale {
+  def main(a: Array[String]): Unit = {
+    val cores = a.headOption.map(_.toInt).getOrElse(8)
+    val sizes = a.drop(1).headOption.map(_.split(",").map(_.toLong))
+      .getOrElse(Array(1000000L, 10000000L))
+    val rounds = a.drop(2).headOption.map(_.toInt).getOrElse(3)
+    val spark = graft.GraftSession.get(cores)
+    import spark.implicits._
+    val cfg = WebConfig(numHosts = 64, rounds = rounds)
+
+    sizes.foreach { q =>
+      val stateDir = java.nio.file.Files.createTempDirectory(s"qscale-$q-state").toString
+      val sinkDir = java.nio.file.Files.createTempDirectory(s"qscale-$q-sink").toString
+      val state = new SnapshotTable(stateDir)
+      val parts = spark.sparkContext.defaultParallelism
+
+      // pre-seeded snapshot: Q alive queue rows spread over the config's
+      // hosts, allowed paths, seq unique per host — the state a long crawl
+      // would have accumulated, without crawling to it
+      val queueAdd = spark.range(0, q, 1, parts)
+        .select(
+          format_string("host%02d.test", (col("id") % cfg.numHosts).cast("int")).as("host"),
+          concat(lit("http://host"),
+            format_string("%02d", (col("id") % cfg.numHosts).cast("int")),
+            lit(".test/p/q"), col("id").cast("string")).as("url"),
+          (col("id") / cfg.numHosts + 1).as("seq"))
+        .select(col("host"), col("url"), xxhash64(col("url")).as("url_hash"),
+          col("seq"), pmod(xxhash64(col("url")), lit(10)).cast("int").as("priority"),
+          lit(0L).as("qr"))
+      val hostctr = queueAdd.groupBy("host")
+        .agg((max("seq") + 1).as("next_seq"), lit(1L).as("next_ord"))
+      val emptyWindow = spark.emptyDataset[(String, Long, Long, Long, String, Long)]
+        .toDF("host", "ord", "seq", "url_hash", "url", "ver")
+      val emptySeen = spark.emptyDataset[(Long, Long)].toDF("url_hash", "r")
+      val emptyQDel = spark.emptyDataset[(Long, Long)].toDF("url_hash", "dr")
+      state.commit(
+        Map(
+          "window" -> emptyWindow, "hostctr" -> hostctr,
+          "blooms" -> SeenSet.emptyBlooms(spark, graft.crawl.CrawlJob.InitialBloomCapPerShard),
+          "meta" -> Seq((0L, 0L, graft.crawl.CrawlJob.InitialBloomCapPerShard))
+            .toDF("round", "seen_count", "bloom_cap")),
+        appendOnly = Map(
+          "seen_add" -> emptySeen, "seen_del" -> emptySeen,
+          "queue_add" -> queueAdd, "queue_del" -> emptyQDel))
+
+      (1 to rounds).foreach { r =>
+        val t0 = System.nanoTime()
+        graft.crawl.CrawlJob.run(spark, cfg, stateDir, sinkDir, upToRound = Some(r))
+        val secs = (System.nanoTime() - t0) / 1e9
+        val scheduled = spark.read.parquet(f"$sinkDir/pages-$r%04d").count()
+        println(f"QSCALE queued=$q%,d round=$r: $secs%6.2f s (committed=$scheduled)")
+      }
+      val alive = graft.crawl.CrawlJob.readQueue(spark, stateDir).count()
+      println(f"QSCALE queued=$q%,d final alive=$alive%,d")
+    }
+    spark.stop()
+  }
+}
