@@ -41,7 +41,7 @@ object DriveQueueScale {
           concat(lit("http://host"),
             format_string("%02d", (col("id") % cfg.numHosts).cast("int")),
             lit(".test/p/q"), col("id").cast("string")).as("url"),
-          (col("id") / cfg.numHosts + 1).as("seq"))
+          (floor(col("id") / cfg.numHosts) + 1).cast("long").as("seq"))
         .select(col("host"), col("url"), xxhash64(col("url")).as("url_hash"),
           col("seq"), pmod(xxhash64(col("url")), lit(10)).cast("int").as("priority"),
           lit(0L).as("qr"))
