@@ -40,6 +40,14 @@ object Bench {
       println(f"FRONTIER_SECS=$t%.4f")
       sys.exit(0)
     }
+    // child mode: `Bench frontierlevel <cores> <n> <reps>` — one JVM per
+    // LEVEL: setup once, one discarded full warm run, then `reps` timed
+    // runs, min reported
+    if (args.length >= 4 && args(0) == "frontierlevel") {
+      val t = frontierLevelSecs(args(1).toInt, args(2).toLong, args(3).toInt)
+      println(f"FRONTIER_SECS=$t%.4f")
+      sys.exit(0)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
@@ -87,17 +95,19 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_REPS", "3").toInt
     val loCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "2").toInt
     val hiCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "8").toInt
-    // one DISCARDED run per level before its timed reps, identical treatment
-    // for both levels: the first isolated run after a different heavy job is
-    // up to 30% slow on this kernel (page reclaim of the previous JVM's
-    // pages), which min-of-reps only partly absorbs — measured round 2 as
-    // the 0.80-vs-0.87 gap between the driver run and an idle box.
-    def level(cores: Int): Double = {
-      frontierSecsIsolated(cores, n) // discarded: eats the reclaim penalty
-      (1 to reps).map(_ => frontierSecsIsolated(cores, n)).min
-    }
-    val tLo = level(loCores)
-    val tHi = level(hiCores)
+    // ONE child JVM per level: setup once, one discarded full-n warm run,
+    // then `reps` timed runs inside that JVM, min reported. Same-LEVEL reps
+    // in one JVM are sound (that is exactly how the headline queries above
+    // measure); only cross-level reuse of a JVM contaminates, and the two
+    // levels still get separate processes. This is the lowest-variance
+    // layout measured on this kernel: per-run child JVMs make every timed
+    // run eat the previous JVM's page-reclaim penalty — blocked per-level
+    // spawning measured 0.51 (penalty lands on whichever level runs last),
+    // interleaved pairs measured 1.12 (every lo run pays reclaim of the hi
+    // heap) — while the in-JVM warm run pins the working set resident
+    // before any timing starts, for both levels identically.
+    val tLo = frontierLevelIsolated(loCores, n, reps)
+    val tHi = frontierLevelIsolated(hiCores, n, reps)
     val eff = (tLo / tHi) / (hiCores.toDouble / loCores)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
@@ -111,10 +121,42 @@ object Bench {
       f""""errors":$errJson,"frontier":$frontier,"sf":"$sfDir"}""")
   }
 
+  /** Run one whole LEVEL (setup + discarded warm + `reps` timed runs) in a
+    * single pinned child JVM; returns the min timed run. Falls back to
+    * in-process if the spawn fails.
+    */
+  def frontierLevelIsolated(cores: Int, n: Long, reps: Int): Double =
+    spawnChild(cores, Seq("frontierlevel", cores.toString, n.toString, reps.toString))
+      .getOrElse(frontierLevelSecs(cores, n, reps))
+
+  /** In-child: fresh session for this level, setup once, one discarded
+    * full-n warm run (faults the working set in and finishes JIT), then
+    * `reps` timed runs; min absorbs residual jitter.
+    */
+  def frontierLevelSecs(cores: Int, n: Long, reps: Int): Double = {
+    val spark = GraftSession.builder(cores)
+      .appName(s"graft-frontier-$cores").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      run(spark, setup(spark, n / 10), budgetBase = 100) // jit + codegen
+      val ctx = setup(spark, n)
+      run(spark, ctx, budgetBase = 800) // discarded: faults working set in
+      (1 to math.max(reps, 1)).map { _ =>
+        val t0 = System.nanoTime()
+        run(spark, ctx, budgetBase = 800)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    } finally spark.stop()
+  }
+
   /** Run `frontierSecs(cores, n)` in a child JVM and parse the result.
     * Falls back to in-process if the spawn fails.
     */
-  def frontierSecsIsolated(cores: Int, n: Long): Double = {
+  def frontierSecsIsolated(cores: Int, n: Long): Double =
+    spawnChild(cores, Seq("frontier", cores.toString, n.toString))
+      .getOrElse(frontierSecs(cores, n))
+
+  private def spawnChild(cores: Int, benchArgs: Seq[String]): Option[Double] = {
     try {
       val java = s"${System.getProperty("java.home")}/bin/java"
       val addOpens = Seq(
@@ -143,14 +185,14 @@ object Bench {
         "-Xms12g", "-Xmx12g", "-XX:+UseParallelGC",
         s"-XX:ParallelGCThreads=$cores", "-Dspark.ui.enabled=false",
         "-cp", System.getProperty("java.class.path"),
-        "graft.Bench", "frontier", cores.toString, n.toString)).toArray
+        "graft.Bench") ++ benchArgs).toArray
       val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
       val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
       p.waitFor()
       out.collectFirst { case l if l.contains("FRONTIER_SECS=") =>
         l.split("FRONTIER_SECS=")(1).trim.toDouble
-      }.getOrElse(frontierSecs(cores, n))
-    } catch { case _: Exception => frontierSecs(cores, n) }
+      }
+    } catch { case _: Exception => None }
   }
 
   /** Per-level state the timed round probes/merges against (the analog of

@@ -290,6 +290,12 @@ object SparkEntry {
         "vec_id", "embedding", nlist = 16, iters = 2)
       SimilaritySearch.searchIvf(idx, q, 10, nprobe = 4)
     }),
+    "q_ann_ivf_full" -> ((s, d) => { // nprobe = nlist ⇒ must equal exact top-k → oracled
+      val q = (0 until 64).map(i => math.sin(i + 1)).toArray
+      val idx = SimilaritySearch.buildIvf(s, t(s, d, "embeddings"),
+        "vec_id", "embedding", nlist = 16, iters = 2)
+      SimilaritySearch.searchIvf(idx, q, 10, nprobe = 16)
+    }),
 
     // ---- training-data ops: text analysis --------------------------------
     "q_text_stats" -> ((s, d) =>
@@ -534,6 +540,14 @@ object SparkEntry {
                 list_sum(list_transform(qv, x -> x * x))), 6) AS cosine
          FROM embeddings, q
          ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+    "q_ann_ivf_full" ->
+      """WITH q AS (SELECT list_transform(range(1, 65), i -> sin(CAST(i AS DOUBLE))) AS qv)
+         SELECT vec_id AS id, round(
+           list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv) /
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) *
+                list_sum(list_transform(qv, x -> x * x))), 6) AS cosine
+         FROM embeddings, q
+         ORDER BY cosine DESC, id ASC LIMIT 10""",
     "q_embed_neardups_exact" ->
       """WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)

@@ -81,15 +81,22 @@ object CrawlJob {
     val state = new SnapshotTable(stateDir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(sinkDir))
 
-    val hostState = spark.createDataset(SyntheticWeb.hostStates(cfg)).toDF()
-
+    // Host state (robots rules parsed from served robots.txt + politeness
+    // budgets) is CHECKPOINT STATE, not a per-run rebuild: seeded once into
+    // the snapshot table alongside the queue (same host key — on a real
+    // catalog both are bucketed by host so the capacity join co-locates),
+    // carried forward by every commit, and read back on resume. At 10^8
+    // hosts this is the table the gate/capacity joins shuffle against when
+    // `broadcastHostState` is off.
     val startRound: Long = state.latestSnapshot match {
       case Some(snap) =>
         state.read(spark, "meta").select(max("round")).as[Long].head() + 1
       case None =>
-        seedState(spark, cfg, state, hostState, broadcastHostState)
+        seedState(spark, cfg, state,
+          spark.createDataset(SyntheticWeb.hostStates(cfg)).toDF(), broadcastHostState)
         1L
     }
+    val hostState = state.read(spark, "hoststate")
     val endRound = math.min(upToRound.getOrElse(cfg.rounds.toLong), cfg.rounds.toLong)
 
     var round = startRound
@@ -137,6 +144,7 @@ object CrawlJob {
       Map(
         "window" -> empty,
         "hostctr" -> hostctr,
+        "hoststate" -> hostState,
         "blooms" -> SeenSet.emptyBlooms(spark, InitialBloomCapPerShard),
         "meta" -> Seq((0L, 0L, InitialBloomCapPerShard)).toDF("round", "seen_count", "bloom_cap")),
       appendOnly = Map(

@@ -54,6 +54,8 @@ object DriveQueueScale {
       state.commit(
         Map(
           "window" -> emptyWindow, "hostctr" -> hostctr,
+          "hoststate" -> spark.createDataset(
+            graft.fixtures.SyntheticWeb.hostStates(cfg)).toDF(),
           "blooms" -> SeenSet.emptyBlooms(spark, graft.crawl.CrawlJob.InitialBloomCapPerShard),
           "meta" -> Seq((0L, 0L, graft.crawl.CrawlJob.InitialBloomCapPerShard))
             .toDF("round", "seen_count", "bloom_cap")),
