@@ -149,6 +149,35 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(lastSeg < aliveRows, s"last queue segment ($lastSeg rows) looks like a full rewrite")
   }
 
+  test("queue event-log semantics: a del kills only adds at/before its round; re-add resurrects") {
+    val dir = tmp()
+    val st = new graft.tables.SnapshotTable(dir)
+    def addRow(qr: Long) = Seq(("h.test", "http://h.test/p/x", 123L, 1L, 5, qr))
+      .toDF("host", "url", "url_hash", "seq", "priority", "qr")
+    val emptyDel = spark.emptyDataset[(Long, Long)].toDF("url_hash", "dr")
+    st.commit(
+      Map("meta" -> Seq((0L, 0L, 0L)).toDF("round", "seen_count", "bloom_cap")),
+      appendOnly = Map("queue_add" -> addRow(0L), "queue_del" -> emptyDel))
+    assert(CrawlJob.readQueue(spark, dir).count() === 1)
+    // fetched at round 2 → tombstoned
+    st.commit(Map.empty, appendOnly = Map(
+      "queue_add" -> addRow(0L).limit(0),
+      "queue_del" -> Seq((123L, 2L)).toDF("url_hash", "dr")))
+    assert(CrawlJob.readQueue(spark, dir).count() === 0)
+    // seen-tombstoned by a revision, rediscovered at round 5 → re-enqueued
+    // with a fresh qr; the old round-2 del must NOT kill the new add
+    st.commit(Map.empty, appendOnly = Map(
+      "queue_add" -> addRow(5L), "queue_del" -> emptyDel))
+    val alive = CrawlJob.readQueue(spark, dir)
+    assert(alive.count() === 1)
+    assert(alive.select("qr").as[Long].head() === 5L)
+    // fetched again at round 7 → gone again
+    st.commit(Map.empty, appendOnly = Map(
+      "queue_add" -> addRow(0L).limit(0),
+      "queue_del" -> Seq((123L, 7L)).toDF("url_hash", "dr")))
+    assert(CrawlJob.readQueue(spark, dir).count() === 0)
+  }
+
   test("bloom-accelerated dedup path gives identical results to exact path") {
     val cfg = WebConfig(numSeeds = 40, rounds = 4)
     val a = tmp(); val sa = tmp(); val b = tmp(); val sb = tmp()
