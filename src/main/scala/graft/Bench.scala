@@ -106,8 +106,16 @@ object Bench {
     // interleaved pairs measured 1.12 (every lo run pays reclaim of the hi
     // heap) — while the in-JVM warm run pins the working set resident
     // before any timing starts, for both levels identically.
+    // Equal-WALL-CLOCK sampling, not equal rep counts: this box drifts
+    // through slow phases lasting minutes, and a hi-level run is ~4x
+    // shorter than a lo-level run — 3 hi reps span ~3 min (one slow phase
+    // can swallow all of them; measured 0.83 vs 1.01 across otherwise
+    // identical invocations) while 3 lo reps span ~10 min. Giving the hi
+    // level 2x the reps widens its window toward the lo level's; min per
+    // level then compares each level's best quiet moment.
+    val hiReps = reps * math.max(hiCores / math.max(loCores, 1) / 2, 1)
     val tLo = frontierLevelIsolated(loCores, n, reps)
-    val tHi = frontierLevelIsolated(hiCores, n, reps)
+    val tHi = frontierLevelIsolated(hiCores, n, hiReps)
     val eff = (tLo / tHi) / (hiCores.toDouble / loCores)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

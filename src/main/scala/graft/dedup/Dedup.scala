@@ -53,14 +53,13 @@ object Dedup {
 
   /** MinHash signature: element j = min over shingles of the shingle hash
     * re-hashed with salt j (xxhash64 chaining — k independent hash functions
-    * without 64-bit multiply overflow under ANSI mode). Pure columnar.
+    * without 64-bit multiply overflow under ANSI mode). A native codegen
+    * expression ([[graft.functions.MinhashSig]]): one traversal of the
+    * shingle array instead of the composed form's p re-walks + p
+    * intermediate arrays per row; bit-exact with that form (PropertySpec).
     */
-  def minhashSignature(shingles: Column, numPerms: Int): Column = {
-    val perms = (0 until numPerms).map { j =>
-      array_min(transform(shingles, h => xxhash64(lit(j), h)))
-    }
-    array(perms: _*)
-  }
+  def minhashSignature(shingles: Column, numPerms: Int): Column =
+    graft.functions.MinhashSig.minhash_signature(shingles, numPerms)
 
   /** LSH band keys: hash of each r-element slice of the signature. A pair
     * agreeing on ANY band becomes a candidate.

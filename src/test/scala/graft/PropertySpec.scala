@@ -21,6 +21,34 @@ class PropertySpec extends AnyFunSuite {
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("property: minhash_signature expression ≡ composed array_min/transform form, bit-exact") {
+    // range-sourced (a local Seq would be constant-folded by
+    // ConvertToLocalRelation, bypassing codegen entirely): varied-length
+    // arrays of well-spread longs, one-in-seven rows carrying a null element
+    val base = spark.range(400).select(col("id"),
+      transform(sequence(lit(1L), pmod(col("id"), lit(20)) + 1),
+        i => xxhash64(i * (col("id") + 1))).as("sh0"))
+    val df = base.select(col("id"),
+      when(col("id") % 7 === 0,
+        concat(array(lit(null).cast("long")), col("sh0")))
+        .otherwise(col("sh0")).as("shingles"))
+    val numPerms = 32
+    val composed = array((0 until numPerms).map { j =>
+      array_min(transform(col("shingles"), h => xxhash64(lit(j), h)))
+    }: _*)
+    val both = df.select(col("id"),
+      graft.functions.MinhashSig.minhash_signature(col("shingles"), numPerms).as("fast"),
+      composed.as("slow"))
+    val mismatches = both.filter(col("fast") =!= col("slow")).count()
+    assert(mismatches === 0L, "expression diverges from the composed formulation")
+    assert(both.count() === 400L)
+    // and it stays inside whole-stage codegen, not a UDF
+    val plan = both.queryExecution.executedPlan.toString
+    assert(plan.contains("minhash_signature") && !plan.toLowerCase.contains("scalaudf"),
+      s"minhash_signature fell out of codegen:\n$plan")
+    assert(plan.contains("*(1)"), s"no codegen span:\n$plan")
+  }
+
   test("property: lenient hex decode ≡ BigInt oracle on arbitrary strings") {
     val hexish = Gen.oneOf(
       Gen.listOf(Gen.oneOf("0123456789abcdefABCDEF".toSeq)).map("0x" + _.mkString),
