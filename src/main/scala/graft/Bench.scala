@@ -40,21 +40,73 @@ object Bench {
       println(f"FRONTIER_SECS=$t%.4f")
       sys.exit(0)
     }
-    // child mode: `Bench frontierlevel <cores> <n> <reps>` — one JVM per
-    // LEVEL: setup once, one discarded full warm run, then `reps` timed
-    // runs, min reported
+    // child mode: `Bench frontierlevel <cores> <n> <reps>` — one JVM for a
+    // LEVEL VISIT: setup once, one discarded full warm run, then `reps`
+    // timed runs, ALL rep times reported (the parent picks the statistic)
     if (args.length >= 4 && args(0) == "frontierlevel") {
-      val t = frontierLevelSecs(args(1).toInt, args(2).toLong, args(3).toInt)
-      println(f"FRONTIER_SECS=$t%.4f")
+      val ts = frontierLevelRuns(args(1).toInt, args(2).toLong, args(3).toInt)
+      println("FRONTIER_RUNS=" + ts.map(t => f"$t%.4f").mkString(","))
       sys.exit(0)
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
+    // part 1 (RUN SECOND, see below): headline analytic queries.
+    // part 2 (RUN FIRST): frontier throughput at two parallelism levels.
+    //
+    // The frontier levels run BEFORE the headline queries: the headline
+    // phase inflates this parent JVM's heap with a 32-thread sf-load whose
+    // pages stay resident after spark.stop(), and the r2/r3 driver
+    // artifacts (efficiency 0.803/0.805) ran the frontier second under
+    // exactly that memory pressure while standalone runs of the identical
+    // per-level layout measured 0.93-1.01. Frontier-first measures the
+    // levels against a parent that has allocated nothing yet.
+    //
+    // Each level visit runs in its OWN child JVM: reusing one JVM across
+    // levels contaminates the second measurement (heap residue skews it
+    // 5-8x, observed both directions), and separate processes are also the
+    // honest analog of separate cluster sizes.
+    // N vs 4N parallelism on identical input. local[2] vs local[8] rather
+    // than 8 vs 32: this single box saturates its memory bandwidth well
+    // before 32 threads (measured: 32 threads burn ~1.5-2x the CPU of 8 for
+    // the same work), which a real 4x-bigger cluster — whose bandwidth
+    // scales with nodes — would not. 2→8 keeps the comparison about the
+    // ENGINE's scaling, not the host's bus.
+    //
+    // SYMMETRIC SAMPLING (r3 ADVICE): both levels get the SAME number of
+    // timed reps and the SAME estimator — the per-level MEDIAN. The r3
+    // layout gave the hi level 2x the reps and compared per-level minima;
+    // min over more samples is biased low, which inflates the gated ratio
+    // in its own favor. Equal counts + median is comparable across levels
+    // by construction and robust to this host's multi-minute slow phases.
+    // Drift-robustness comes from INTERLEAVING instead of unequal windows:
+    // the levels alternate (lo,hi,lo,hi,...) across `jvms` visits each, so
+    // both levels sample the same span of host time; each visit's one
+    // discarded full-n warm run absorbs the preceding JVM's page-reclaim
+    // penalty before any timing starts (the r2 measurements that damned
+    // interleaving — 1.12 biased high — had no in-JVM warm run).
+    val n = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "3000000").toLong
+    val reps = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_REPS", "2").toInt
+    val jvms = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_JVMS", "2").toInt
+    val loCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "2").toInt
+    val hiCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "8").toInt
+    val loRuns = scala.collection.mutable.ArrayBuffer[Double]()
+    val hiRuns = scala.collection.mutable.ArrayBuffer[Double]()
+    (1 to math.max(jvms, 1)).foreach { _ =>
+      loRuns ++= frontierLevelIsolated(loCores, n, reps)
+      hiRuns ++= frontierLevelIsolated(hiCores, n, reps)
+    }
+    val tLo = median(loRuns.toSeq)
+    val tHi = median(hiRuns.toSeq)
+    val eff = (tLo / tHi) / (hiCores.toDouble / loCores)
+
     // part 1: headline queries — warm once (jit + parquet footer cache),
-    // report min of `qreps` timed runs (this host shows multi-x run-to-run
-    // variance right after heavy jobs). A failing query records -1, never a
-    // time-to-failure masquerading as a measurement.
+    // report min of the timed runs (this host shows multi-x run-to-run
+    // variance right after heavy jobs). Sub-second queries get at least 5
+    // reps: at 2 reps their round-over-round variance measured ±38% on
+    // untouched code (r3), far outside the baseline's ±15% band. A failing
+    // query records -1, never a time-to-failure masquerading as a
+    // measurement.
     val qreps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
     val spark = GraftSession.get(cpus)
     val errors = scala.collection.mutable.ArrayBuffer[String]()
@@ -62,8 +114,11 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val secs =
         try {
+          val w0 = System.nanoTime()
           fn(spark, sfDir).count() // warm
-          val times = (1 to math.max(qreps, 1)).map { _ =>
+          val warmSecs = (System.nanoTime() - w0) / 1e9
+          val r = if (warmSecs < 1.5) math.max(qreps, 5) else math.max(qreps, 1)
+          val times = (1 to r).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9
@@ -76,72 +131,44 @@ object Bench {
     }
     spark.stop()
 
-    // part 2: frontier throughput at two parallelism levels. Each level runs
-    // in its OWN child JVM: reusing one JVM contaminates the second
-    // measurement (heap residue + stopped-context leftovers skew it 5-8x,
-    // observed both directions), and separate processes are also the honest
-    // analog of separate cluster sizes.
-    // The sandbox kernel shows heavy run-to-run variance right after large
-    // jobs (page-cache reclaim): take the best of `reps` isolated runs per
-    // level — the standard noisy-host practice; both levels get identical
-    // treatment so the ratio stays honest.
-    // N vs 4N parallelism on identical input. local[2] vs local[8] rather
-    // than 8 vs 32: this single box saturates its memory bandwidth well
-    // before 32 threads (measured: 32 threads burn ~1.5-2x the CPU of 8 for
-    // the same work), which a real 4x-bigger cluster — whose bandwidth
-    // scales with nodes — would not. 2→8 keeps the comparison about the
-    // ENGINE's scaling, not the host's bus.
-    val n = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "3000000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_REPS", "3").toInt
-    val loCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "2").toInt
-    val hiCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "8").toInt
-    // ONE child JVM per level: setup once, one discarded full-n warm run,
-    // then `reps` timed runs inside that JVM, min reported. Same-LEVEL reps
-    // in one JVM are sound (that is exactly how the headline queries above
-    // measure); only cross-level reuse of a JVM contaminates, and the two
-    // levels still get separate processes. This is the lowest-variance
-    // layout measured on this kernel: per-run child JVMs make every timed
-    // run eat the previous JVM's page-reclaim penalty — blocked per-level
-    // spawning measured 0.51 (penalty lands on whichever level runs last),
-    // interleaved pairs measured 1.12 (every lo run pays reclaim of the hi
-    // heap) — while the in-JVM warm run pins the working set resident
-    // before any timing starts, for both levels identically.
-    // Equal-WALL-CLOCK sampling, not equal rep counts: this box drifts
-    // through slow phases lasting minutes, and a hi-level run is ~4x
-    // shorter than a lo-level run — 3 hi reps span ~3 min (one slow phase
-    // can swallow all of them; measured 0.83 vs 1.01 across otherwise
-    // identical invocations) while 3 lo reps span ~10 min. Giving the hi
-    // level 2x the reps widens its window toward the lo level's; min per
-    // level then compares each level's best quiet moment.
-    val hiReps = reps * math.max(hiCores / math.max(loCores, 1) / 2, 1)
-    val tLo = frontierLevelIsolated(loCores, n, reps)
-    val tHi = frontierLevelIsolated(hiCores, n, hiReps)
-    val eff = (tLo / tHi) / (hiCores.toDouble / loCores)
-
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.filter(_._2 > 0).map(_._2).sum + tLo + tHi
+    val total = results.filter(_._2 > 0).map(_._2).sum + loRuns.sum + hiRuns.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def arr(xs: Seq[Double]) = xs.map(t => f"$t%.2f").mkString("[", ",", "]")
     val frontier = f"""{"n_urls":$n,"cores_lo":$loCores,"cores_hi":$hiCores,""" +
       f""""urls_per_sec_lo":${n / tLo}%.0f,"urls_per_sec_hi":${n / tHi}%.0f,""" +
-      f""""secs_lo":$tLo%.2f,"secs_hi":$tHi%.2f,"scaling_efficiency":$eff%.3f}"""
+      f""""secs_lo":$tLo%.2f,"secs_hi":$tHi%.2f,""" +
+      f""""runs_lo":${arr(loRuns.toSeq)},"runs_hi":${arr(hiRuns.toSeq)},""" +
+      f""""estimator":"median","scaling_efficiency":$eff%.3f}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       f""""errors":$errJson,"frontier":$frontier,"sf":"$sfDir"}""")
   }
 
-  /** Run one whole LEVEL (setup + discarded warm + `reps` timed runs) in a
-    * single pinned child JVM; returns the min timed run. Falls back to
+  /** Median of the timed runs (average of the middle two for even counts) —
+    * the symmetric per-level estimator the scaling gate compares.
+    */
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) Double.NaN
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** Run one level VISIT (setup + discarded warm + `reps` timed runs) in a
+    * single pinned child JVM; returns all timed runs. Falls back to
     * in-process if the spawn fails.
     */
-  def frontierLevelIsolated(cores: Int, n: Long, reps: Int): Double =
-    spawnChild(cores, Seq("frontierlevel", cores.toString, n.toString, reps.toString))
-      .getOrElse(frontierLevelSecs(cores, n, reps))
+  def frontierLevelIsolated(cores: Int, n: Long, reps: Int): Seq[Double] =
+    spawnChildRuns(cores, Seq("frontierlevel", cores.toString, n.toString, reps.toString))
+      .getOrElse(frontierLevelRuns(cores, n, reps))
 
   /** In-child: fresh session for this level, setup once, one discarded
-    * full-n warm run (faults the working set in and finishes JIT), then
-    * `reps` timed runs; min absorbs residual jitter.
+    * full-n warm run (faults the working set in, finishes JIT, and absorbs
+    * any page-reclaim penalty left by a preceding sibling JVM), then `reps`
+    * timed runs — all returned; the parent picks the statistic.
     */
-  def frontierLevelSecs(cores: Int, n: Long, reps: Int): Double = {
+  def frontierLevelRuns(cores: Int, n: Long, reps: Int): Seq[Double] = {
     val spark = GraftSession.builder(cores)
       .appName(s"graft-frontier-$cores").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -153,9 +180,13 @@ object Bench {
         val t0 = System.nanoTime()
         run(spark, ctx, budgetBase = 800)
         (System.nanoTime() - t0) / 1e9
-      }.min
+      }
     } finally spark.stop()
   }
+
+  /** Back-compat single-number variant (min of [[frontierLevelRuns]]). */
+  def frontierLevelSecs(cores: Int, n: Long, reps: Int): Double =
+    frontierLevelRuns(cores, n, reps).min
 
   /** Run `frontierSecs(cores, n)` in a child JVM and parse the result.
     * Falls back to in-process if the spawn fails.
@@ -164,7 +195,20 @@ object Bench {
     spawnChild(cores, Seq("frontier", cores.toString, n.toString))
       .getOrElse(frontierSecs(cores, n))
 
-  private def spawnChild(cores: Int, benchArgs: Seq[String]): Option[Double] = {
+  /** Spawn a `frontierlevel` child and parse its full rep-time list. */
+  private def spawnChildRuns(cores: Int, benchArgs: Seq[String]): Option[Seq[Double]] =
+    spawnChildOutput(cores, benchArgs).flatMap(
+      _.collectFirst { case l if l.contains("FRONTIER_RUNS=") =>
+        l.split("FRONTIER_RUNS=")(1).trim.split(",").map(_.toDouble).toSeq
+      })
+
+  private def spawnChild(cores: Int, benchArgs: Seq[String]): Option[Double] =
+    spawnChildOutput(cores, benchArgs).flatMap(
+      _.collectFirst { case l if l.contains("FRONTIER_SECS=") =>
+        l.split("FRONTIER_SECS=")(1).trim.toDouble
+      })
+
+  private def spawnChildOutput(cores: Int, benchArgs: Seq[String]): Option[List[String]] = {
     try {
       val java = s"${System.getProperty("java.home")}/bin/java"
       val addOpens = Seq(
@@ -197,9 +241,7 @@ object Bench {
       val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
       val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
       p.waitFor()
-      out.collectFirst { case l if l.contains("FRONTIER_SECS=") =>
-        l.split("FRONTIER_SECS=")(1).trim.toDouble
-      }
+      Some(out)
     } catch { case _: Exception => None }
   }
 

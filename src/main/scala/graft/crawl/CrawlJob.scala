@@ -4,7 +4,7 @@ import graft.fixtures.{SyntheticWeb, WebConfig}
 import graft.frontier.{BloomSketch, Scheduler, SeenSet}
 import graft.functions.GraftExpressions._
 import graft.tables.SnapshotTable
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,47 +15,83 @@ import org.apache.spark.sql.functions._
   *   task chain) → revision diff (reorg analog) → envelope emit → atomic
   *   checkpoint.
   *
-  * One round = one micro-batch. All state lives in a [[SnapshotTable]]
-  * (queue / seen / window / hostctr); every round ends with an atomic
-  * snapshot commit, and the next round reads back from the snapshot — which
-  * both truncates the iterative lineage and makes any round a resume point
-  * (kill the process between rounds: `run` continues from LATEST, the
-  * reference's checkpoint-resume semantics, /root/reference/state/state.go).
+  * One round = one micro-batch. All state lives in a [[SnapshotTable]];
+  * every round ends with an atomic snapshot commit, and the next round reads
+  * back from the snapshot — which both truncates the iterative lineage and
+  * makes any round a resume point (kill the process between rounds: `run`
+  * continues from LATEST, the reference's checkpoint-resume semantics,
+  * /root/reference/state/state.go).
   *
   * Sink semantics are at-least-once exactly like the reference (emit before
   * checkpoint save, SURVEY.md §2.9): envelopes for round r are written
   * before snapshot r commits, so a crash between the two re-emits round r on
   * resume. Emits are keyed (round, host, ord) → idempotent read-back.
   *
+  * State layout — every mutable table is an append-only EVENT LOG
+  * (`*_add`/`*_del` delta segments, folded every [[SeenCompactionInterval]]
+  * rounds), so a round WRITES O(delta) and never rewrites history:
+  *
+  *  - `member_add`/`member_del`: the URL membership set = seen ∪ alive
+  *    queue, maintained at ENQUEUE time. This is the engine restatement of
+  *    the oracle walker's `!seen.contains(h) && !queued.contains(h)` dedup
+  *    ([[RefWalker]]): one membership probe replaces the r3 design's
+  *    separate seen-set anti-join PLUS a full alive-queue semi-join — the
+  *    latter was a per-round O(total frontier) scan. A URL is a member from
+  *    enqueue until revision retraction; fetching moves it queue→seen
+  *    without changing membership, so the set is exactly seen ∪ queued.
+  *  - `queue_add`/`queue_del`: the frontier ground truth. After this round's
+  *    refactor NOTHING reads it per round — scheduling reads the bounded
+  *    head cache below; the full log is only folded at compaction
+  *    (amortized 1/interval) and read by tools/tests.
+  *  - `head_add`/`head_del` + `headmeta`: the per-host HEAD CACHE — the
+  *    frontier analog of the reference's sequential cursor
+  *    (/root/reference/crawler/blocks.go:50,60). `headmeta` pins a per-host
+  *    rank boundary β (on the (priority desc, seq asc) order); the head
+  *    holds exactly the alive rows ranking before β. β is chosen at
+  *    seed/compaction as the rank-H row where H = capacity ×
+  *    (interval + 1): scheduling consumes ≤ capacity rows per round, so the
+  *    head cannot underflow below one round's capacity between compactions,
+  *    and discoveries ranking before β are appended to the head at enqueue
+  *    time (rows at-or-after β go to the backing log only). Net: the
+  *    scheduler scans O(Σ min(H_host, alive_host)) rows per round — at the
+  *    10^10-frontier / 10^7-fetch regime that is ~100× less than the alive
+  *    queue — and the backing log is scanned ONLY at compaction, where the
+  *    fold rewrites those rows anyway. A `roundMillis`/budget change across
+  *    a resume can raise capacities past the provisioned H; a per-round
+  *    guard detects any shallow-head-with-finite-β host and falls back to
+  *    one exact full-queue scheduling round that also re-provisions the
+  *    head (config-change path only, never taken in steady state).
+  *  - `window_add`/`window_del`: the K-deep revision window, delta-committed
+  *    — adds are this round's commits/replacements, dels are revisions and
+  *    beyond-K evictions (both O(fetched)). The r3 design rewrote the full
+  *    O(hosts·K) table every round — wrong shape at the 10^8-host regime.
+  *  - `hostctr_add`: per-host (next_seq, next_ord) counters, last-writer-
+  *    wins by round — one row per ACTIVE host per round instead of the r3
+  *    full O(hosts) rewrite.
+  *  - `hoststate`: static per-host robots/politeness state, seeded once and
+  *    carried; broadcast while small, host-keyed shuffle join at the
+  *    10^8-host regime (`broadcastHostState = false`).
+  *  - `blooms`: sharded membership blooms, OR-merged O(delta) per round.
+  *
   * Scale notes (the point of the exercise):
-  *  - NOTHING in a round is O(total frontier) except one columnar scan:
-  *    both monotone state tables — the seen set AND the queue — are
-  *    append/remove event logs (`*_add`/`*_del` delta segments, folded every
-  *    [[SeenCompactionInterval]] rounds). A round appends O(delta) rows and
-  *    never rewrites history; the reference's sequential cursor
-  *    (/root/reference/crawler/blocks.go:50,60) avoids full scans by walking
-  *    — our frontier analog avoids them by delta commits;
+  *  - NO per-round O(total-frontier) scan remains anywhere: scheduling reads
+  *    the bounded head; discovery dedup probes the membership blooms
+  *    map-side, and only maybe-member candidates ride the exact anti-join
+  *    (whose big side is the member log — on a real catalog a table
+  *    bucketed by url_hash, so the storage-partitioned join moves only the
+  *    candidates);
   *  - the robots gate runs ONCE, at enqueue time, over the round's O(delta)
   *    discoveries — the 10^10-row queue is never re-purged;
-  *  - the alive queue is materialized once per round (persist) and serves
-  *    scheduling, payload recovery, and discovery-dedup without re-reading
-  *    or ever shuffling the full table (dedup streams it against broadcast
-  *    candidates);
   *  - fetch is the only executor-heavy stage; it runs data-parallel over the
   *    scheduled set with NO ordering requirement — order is re-imposed at
   *    commit via per-host rank, the way a shuffle sort replaces the
   *    reference's serial handler (/root/reference/syncronizer/synchronizer.go:14-36);
   *  - per-host top-k scheduling is salted two-phase (see [[Scheduler]]);
-  *  - seen-set dedup is bloom-pre-filtered anti-join ([[SeenSet]]), switching
-  *    on once the seen table passes `bloomThreshold` rows;
-  *  - hostState is broadcast while small (one row per host) and a plain
-  *    host-keyed shuffle join once it is not (`broadcastHostState = false`,
-  *    the 10^8-host regime);
   *  - revision handling is a bounded K-deep window diff, not an iterative
   *    walk (SURVEY.md §3.2); replacement pages are fetched in a distributed
   *    `mapPartitions` stage exactly like the main fetch — the driver never
-  *    fetches, and the only per-round driver round-trip on the revision path
-  *    is one is-empty probe.
+  *    fetches, and the per-round driver round-trips are two is-empty probes
+  *    (any revisions? any shallow head?).
   */
 object CrawlJob {
 
@@ -68,6 +104,13 @@ object CrawlJob {
       url_hash: Long, url: String, ver: Long)
 
   val EmitCols = Seq("round", "status", "host", "seq", "ord", "url_hash", "url", "priority")
+
+  /** Head provisioning depth in rounds of capacity: the head is rebuilt at
+    * seed/compaction to hold capacity × (interval + 1) rows per host, so
+    * consuming ≤ capacity per round for `interval` rounds leaves ≥ one
+    * round's capacity at the next compaction — no mid-interval refill path.
+    */
+  def HeadDepthRounds: Long = SeenCompactionInterval + 1
 
   /** Run (or resume) the crawl for `cfg.rounds` rounds against the synthetic
     * web, checkpointing into `stateDir` and appending emits/pages under
@@ -115,41 +158,68 @@ object CrawlJob {
     */
   private def seedState(spark: SparkSession, cfg: WebConfig, state: SnapshotTable,
       hostState: DataFrame, broadcastHostState: Boolean): Unit = {
-    import spark.implicits._
     // F2 empty-response guard: the reference aborts at startup when its
     // start block comes back empty ("block not found",
     // /root/reference/cmd/blockspiderd/main.go:110-115) — a crawl with no
     // resolvable seeds must fail fast, not commit an empty checkpoint.
     val rawSeeds = SyntheticWeb.seedUrls(cfg)
     require(rawSeeds.nonEmpty, "cold start with no seeds (F2 guard: nothing to crawl)")
-    val seeds = rawSeeds.zipWithIndex.toDF("raw_url", "seed_idx")
-    val canon = seeds
+    import spark.implicits._
+    val seeds = seeds2Df(spark, rawSeeds)
+    val queueAdd = Scheduler.robotsGate(seeds, hostState, broadcastHostState)
+      .withColumn("seq",
+        row_number().over(Window.partitionBy(col("host")).orderBy(col("seed_idx"))).cast("long"))
+      .select("host", "url", "url_hash", "seq", "priority")
+      .withColumn("qr", lit(0L))
+    seedSnapshot(spark, state, queueAdd, hostState, cfg.roundMillis)
+  }
+
+  private def seeds2Df(spark: SparkSession, rawSeeds: Seq[String]): DataFrame = {
+    import spark.implicits._
+    rawSeeds.zipWithIndex.toDF("raw_url", "seed_idx")
       .withColumn("url", canonicalize_url(col("raw_url")))
       .withColumn("url_hash", xxhash64(col("url")))
       .withColumn("host", url_host(col("url")))
       .withColumn("path", url_path(col("url")))
       .withColumn("priority", pmod(xxhash64(col("url")), lit(10)).cast("int"))
-    val queueAdd = Scheduler.robotsGate(canon, hostState, broadcastHostState)
-      .withColumn("seq",
-        row_number().over(Window.partitionBy(col("host")).orderBy(col("seed_idx"))).cast("long"))
-      .select("host", "url", "url_hash", "seq", "priority")
-      .withColumn("qr", lit(0L))
+  }
+
+  /** Commit snapshot 0 from a pre-built (robots-gated) `queue_add` set:
+    * counters, membership, blooms, and the provisioned head cache. Public so
+    * scale drivers ([[graft.tools.DriveQueueScale]]) can seed an arbitrary
+    * pre-accumulated frontier through the same path a real crawl uses.
+    */
+  def seedSnapshot(spark: SparkSession, state: SnapshotTable, queueAdd0: DataFrame,
+      hostState: DataFrame, roundMillis: Long): Unit = {
+    import spark.implicits._
+    val queueAdd = queueAdd0.localCheckpoint(true)
     val hostctr = queueAdd.groupBy("host")
       .agg((max("seq") + 1).as("next_seq"), lit(1L).as("next_ord"))
-    val empty = spark.emptyDataset[(String, Long, Long, Long, String, Long)]
+      .withColumn("hr", lit(0L))
+    val memberAdd = queueAdd.select(col("url_hash"), lit(0L).as("r"))
+    val memberCount = queueAdd.count()
+    val (headAdd, headmeta) = buildHead(queueAdd, hostState, roundMillis)
+    val emptyWindow = spark.emptyDataset[(String, Long, Long, Long, String, Long)]
       .toDF("host", "ord", "seq", "url_hash", "url", "ver")
-    val emptySeen = spark.emptyDataset[(Long, Long)].toDF("url_hash", "r")
-    val emptyQDel = spark.emptyDataset[(Long, Long)].toDF("url_hash", "dr")
+    val emptyWDel = spark.emptyDataset[(String, Long)].toDF("host", "ord")
+    val emptyHash = spark.emptyDataset[(Long, Long)].toDF("url_hash", "r")
+    val emptyDel = spark.emptyDataset[(Long, Long)].toDF("url_hash", "dr")
+    val cap = InitialBloomCapPerShard
+    val blooms =
+      if (memberCount == 0) SeenSet.emptyBlooms(spark, cap)
+      else SeenSet.buildBloomsDf(memberAdd.select("url_hash"), cap)
     state.commit(
       Map(
-        "window" -> empty,
-        "hostctr" -> hostctr,
         "hoststate" -> hostState,
-        "blooms" -> SeenSet.emptyBlooms(spark, InitialBloomCapPerShard),
-        "meta" -> Seq((0L, 0L, InitialBloomCapPerShard)).toDF("round", "seen_count", "bloom_cap")),
+        "headmeta" -> headmeta,
+        "blooms" -> blooms,
+        "meta" -> Seq((0L, memberCount, cap)).toDF("round", "member_count", "bloom_cap")),
       appendOnly = Map(
-        "seen_add" -> emptySeen, "seen_del" -> emptySeen,
-        "queue_add" -> queueAdd, "queue_del" -> emptyQDel))
+        "member_add" -> memberAdd, "member_del" -> emptyDel,
+        "queue_add" -> shapeQueueSegment(queueAdd), "queue_del" -> emptyDel,
+        "head_add" -> headAdd, "head_del" -> emptyDel,
+        "window_add" -> emptyWindow, "window_del" -> emptyWDel,
+        "hostctr_add" -> hostctr))
   }
 
   /** Initial bloom sizing (items per shard); compaction resizes with 2×
@@ -157,52 +227,143 @@ object CrawlJob {
     */
   val InitialBloomCapPerShard = 4096L
 
-  /** The alive seen-set at the latest snapshot: adds minus later tombstones.
-    * `seen_add`/`seen_del` are APPEND-ONLY (url_hash, round) event segments —
-    * each round writes O(delta), never rewriting the 10^10-row history; a
-    * tombstone (revision retraction) kills only adds at or before its round,
-    * so a later re-fetch of the same URL resurrects it. Tombstones are rare
-    * (bounded by revisions·K), hence the broadcast join: membership is
-    * resolved map-side with no shuffle over the big table.
+  /** Host-bucketed, rank-sorted layout for full queue segments (the fold and
+    * the seed): co-locates a host's rows and gives row groups tight
+    * (priority, seq) min/max stats, so the amortized compaction fold and any
+    * emergency full-queue read scan in rank order instead of randomly.
     */
-  def readSeen(spark: SparkSession, state: SnapshotTable): DataFrame = {
-    val adds = state.read(spark, "seen_add")
-    val dels = state.read(spark, "seen_del")
-      .groupBy("url_hash").agg(max("r").as("dr"))
-    adds.join(broadcast(dels), Seq("url_hash"), "left")
-      .filter(col("dr").isNull || col("r") > col("dr"))
+  private def shapeQueueSegment(q: DataFrame): DataFrame = {
+    val parts = math.max(q.sparkSession.sparkContext.defaultParallelism, 1)
+    q.repartition(parts, pmod(xxhash64(col("host")), lit(parts)))
+      .sortWithinPartitions(col("host"), col("priority").desc, col("seq").asc)
+  }
+
+  /** The alive membership set (= seen ∪ queued) at the latest snapshot: adds
+    * minus later tombstones. A tombstone (revision retraction) kills only
+    * adds STRICTLY BEFORE its round — an add in the same round survives,
+    * because within a round retraction (step 1) happens-before any re-add
+    * (replacement fetch or re-discovery enqueue), and a retraction can only
+    * target a URL fetched in an EARLIER round. Tombstones are rare (bounded
+    * by revisions·K per interval) so the planner resolves membership with a
+    * broadcast-hash join on its own; no forced hint — at a pathological
+    * retraction volume it degrades to a shuffle join instead of an OOM.
+    */
+  def readMembers(spark: SparkSession, state: SnapshotTable): DataFrame = {
+    val adds = state.read(spark, "member_add")
+    val dels = state.read(spark, "member_del")
+      .groupBy("url_hash").agg(max("dr").as("dr"))
+    adds.join(dels, Seq("url_hash"), "left")
+      .filter(col("dr").isNull || col("r") >= col("dr"))
       .select("url_hash")
   }
+
+  /** The fetched-and-alive ("seen") view, for tests/tools: members minus the
+    * alive queue. Exact because a URL is never simultaneously queued and
+    * fetched-alive (fetch removes it from the queue; a failed fetch leaves
+    * it queued and unfetched; retraction targets fetched URLs only).
+    */
+  def readSeen(spark: SparkSession, state: SnapshotTable): DataFrame =
+    readMembers(spark, state)
+      .join(readQueue(spark, state).select("url_hash"), Seq("url_hash"), "left_anti")
 
   def readSeen(spark: SparkSession, stateDir: String): DataFrame =
     readSeen(spark, new SnapshotTable(stateDir))
 
-  /** The alive frontier queue at the latest snapshot — the same event-log
-    * shape as the seen set: `queue_add` segments (one appended per round,
-    * O(new discoveries)) minus `queue_del` tombstones (one appended per
-    * round, O(fetched)). A del kills only adds enqueued at or before its
-    * round, so a URL tombstoned from the SEEN set (revision retraction) and
-    * later re-discovered re-enters the queue cleanly with a fresh `qr`.
+  /** The alive frontier queue at the latest snapshot — `queue_add` segments
+    * (one appended per round, O(new discoveries)) minus `queue_del`
+    * tombstones (one appended per round, O(fetched)). A del kills only adds
+    * enqueued at or before its round, so a URL retracted from the member set
+    * and later re-discovered re-enters the queue cleanly with a fresh `qr`.
     * Dels accumulated since the last compaction are bounded by
-    * fetches-per-round × [[SeenCompactionInterval]] — broadcastable — so the
-    * big add side is never shuffled; compaction folds both logs.
+    * fetches-per-round × [[SeenCompactionInterval]]; the planner picks the
+    * join side (broadcast at any sane volume). NOTHING in a steady-state
+    * round reads this view — scheduling reads [[readHead]]; this is the
+    * compaction-fold / tools / emergency path.
     */
-  def readQueue(spark: SparkSession, state: SnapshotTable): DataFrame = {
-    val adds = state.read(spark, "queue_add")
-    val dels = state.read(spark, "queue_del")
-      .groupBy("url_hash").agg(max("dr").as("dr"))
-    adds.join(broadcast(dels), Seq("url_hash"), "left")
-      .filter(col("dr").isNull || col("qr") > col("dr"))
-      .drop("dr")
-  }
+  def readQueue(spark: SparkSession, state: SnapshotTable): DataFrame =
+    readLog(state.read(spark, "queue_add"), state.read(spark, "queue_del"))
 
   def readQueue(spark: SparkSession, stateDir: String): DataFrame =
     readQueue(spark, new SnapshotTable(stateDir))
 
-  /** Compact the seen/queue event logs every this many rounds: rewrite the
-    * alive sets as single segments and clear tombstones.
+  /** The alive per-host head cache (same event-log shape as the queue; head
+    * dels are exactly the queue dels — this round's committed fetches).
+    */
+  def readHead(spark: SparkSession, state: SnapshotTable): DataFrame =
+    readLog(state.read(spark, "head_add"), state.read(spark, "head_del"))
+
+  private def readLog(adds: DataFrame, dels: DataFrame): DataFrame =
+    adds.join(dels.groupBy("url_hash").agg(max("dr").as("dr")), Seq("url_hash"), "left")
+      .filter(col("dr").isNull || col("qr") > col("dr"))
+      .drop("dr")
+
+  /** The alive K-deep revision window: adds minus (retraction + eviction)
+    * dels. (host, ord) is unique forever — ords are never reused — so a
+    * plain anti-join resolves it; both del classes are O(fetched/interval).
+    */
+  def readWindow(spark: SparkSession, state: SnapshotTable): DataFrame =
+    state.read(spark, "window_add")
+      .join(state.read(spark, "window_del"), Seq("host", "ord"), "left_anti")
+
+  /** Per-host counters: last writer (max commit round `hr`) wins. O(active ×
+    * interval + hosts-at-fold) rows read; O(active) written per round.
+    */
+  def readHostctr(spark: SparkSession, state: SnapshotTable): DataFrame =
+    state.read(spark, "hostctr_add")
+      .groupBy("host")
+      .agg(max_by(struct(col("next_seq"), col("next_ord")), col("hr")).as("c"))
+      .select(col("host"), col("c.next_seq").as("next_seq"), col("c.next_ord").as("next_ord"))
+
+  /** Compact the event logs every this many rounds: rewrite the alive sets
+    * as single segments, clear tombstones, re-provision the head cache.
     */
   val SeenCompactionInterval = 8L
+
+  /** Provision the head cache from an alive queue: per host, the top
+    * H = capacity × [[HeadDepthRounds]] rows by (priority desc, seq asc),
+    * plus the boundary β (the LAST kept row's key when the host was
+    * truncated; the sentinel bp = −1 = "β = ∞, head holds every alive row"
+    * otherwise). Discoveries ranking before β enter the head at enqueue;
+    * rows at-or-after β live only in the backing log until the next fold.
+    * The rank runs over the alive queue — an O(total) pass, which is why it
+    * happens only at seed/compaction where the fold rewrites those rows
+    * anyway.
+    */
+  def buildHead(queueAlive: DataFrame, hostState: DataFrame,
+      roundMillis: Long): (DataFrame, DataFrame) = {
+    val caps = hostState.select(col("host"),
+      (Scheduler.capacity(col("budget"), col("min_delay_ms"), roundMillis).cast("long") *
+        HeadDepthRounds).as("head_depth"))
+    val ranked = queueAlive
+      .join(caps, Seq("host"), "inner")
+      .withColumn("h_rank", row_number().over(
+        Window.partitionBy(col("host")).orderBy(col("priority").desc, col("seq").asc)))
+      .persist()
+    val headAdd = ranked.filter(col("h_rank") <= col("head_depth"))
+      .select("host", "url", "url_hash", "seq", "priority", "qr")
+    // β exists only for truncated hosts: the row AT rank head_depth is the
+    // last one kept; anything ranking after it is backing-only.
+    val bounded = ranked
+      .groupBy("host", "head_depth").agg(count(lit(1)).as("n"))
+      .filter(col("n") > col("head_depth"))
+      .select("host", "head_depth")
+    val headmeta = ranked
+      .join(bounded, Seq("host"), "left_semi")
+      .filter(col("h_rank") === col("head_depth"))
+      .select(col("host"), col("priority").as("bp"), col("seq").as("bs"))
+    // materialize both before unpersisting the rank
+    val out = (headAdd.localCheckpoint(true), headmeta.localCheckpoint(true))
+    ranked.unpersist()
+    out
+  }
+
+  /** Is (priority, seq) strictly before the host's head boundary? Hosts with
+    * no boundary row or the ∞ sentinel (bp = −1) keep everything in head.
+    */
+  private def beforeBoundary: Column =
+    col("bp").isNull || col("bp") === -1 ||
+      col("priority") > col("bp") ||
+      (col("priority") === col("bp") && col("seq") < col("bs"))
 
   private def runRound(spark: SparkSession, cfg: WebConfig, round: Long,
       state: SnapshotTable, sinkDir: String, hostState: DataFrame,
@@ -210,24 +371,23 @@ object CrawlJob {
       broadcastHostState: Boolean): Unit = {
     import spark.implicits._
 
-    // ONE materialization of the alive queue serves the whole round:
-    // scheduler rank scan, winner payload recovery, and discovery-dedup all
-    // hit this persist — a single pass over queue storage per round, zero
-    // full-queue shuffles, zero full-queue rewrites (except amortized
-    // compaction). At cluster scale MEMORY_AND_DISK spreads ~1 GB/executor
-    // per 10^10 rows over 1000 executors.
-    val queueAlive = readQueue(spark, state).persist()
-    val seenBase = readSeen(spark, state)
-    // incremental seen-set bookkeeping carried in meta — never recounted by
-    // scanning the (10^10-row at target scale) seen table
-    val (seenCount0, bloomCap) = state.read(spark, "meta")
-      .select(col("seen_count"), col("bloom_cap")).as[(Long, Long)].head()
-    var window = state.read(spark, "window")
-    var hostctr = state.read(spark, "hostctr")
+    // Round inputs: the bounded head cache (NOT the full queue), the K-deep
+    // window, per-host counters, and incremental membership bookkeeping
+    // carried in meta — the (10^10-row at target scale) member/queue logs
+    // are never recounted or rescanned.
+    val headAlive = readHead(spark, state).persist()
+    val headmeta = state.read(spark, "headmeta")
+    val (memberCount0, bloomCap) = state.read(spark, "meta")
+      .select(col("member_count"), col("bloom_cap")).as[(Long, Long)].head()
+    val windowStart = readWindow(spark, state).localCheckpoint(true)
+    var hostctr = readHostctr(spark, state)
     val emitParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    // this round's seen-set deltas (appended at commit, O(delta) forever)
+    // this round's membership deltas (appended at commit, O(delta) forever)
     val addParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val delParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val winAddParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val winDelParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var window = windowStart
 
     // ---- 1. DATA-DRIVEN revision detection (reorg analog) ----------------
     // The reference never receives reorg notifications: it detects one when
@@ -249,14 +409,15 @@ object CrawlJob {
       // pins the probe result for the emit write later in the round
       val dropped = probed.filter(col("cur_ver") > col("ver")).localCheckpoint(true)
 
-      // the only driver signal on this path: did ANY window entry revise?
+      // driver signal 1 of 2 on this path: did ANY window entry revise?
       if (!dropped.isEmpty) {
         emitParts += dropped.select(
           lit(round).as("round"), lit("DROPPED").as("status"), col("host"),
           col("seq"), col("ord"), col("url_hash"), col("url"),
           pmod(xxhash64(col("url")), lit(10)).cast("int").as("priority"))
         window = window.join(dropped.select("host", "ord"), Seq("host", "ord"), "left_anti")
-        delParts += dropped.select(col("url_hash"), lit(round).as("r"))
+        delParts += dropped.select(col("url_hash"), lit(round).as("dr"))
+        winDelParts += dropped.select("host", "ord")
 
         // replacements: the pages the revised hosts serve NOW (observable
         // data, the sidechain analog) — fetched in a DISTRIBUTED
@@ -285,6 +446,7 @@ object CrawlJob {
           pmod(xxhash64(col("url")), lit(10)).cast("int").as("priority"))
         window = window.unionByName(
           replDf.select("host", "ord", "seq", "url_hash", "url", "ver"))
+        winAddParts += replDf.select("host", "ord", "seq", "url_hash", "url", "ver")
         addParts += replDf.select(col("url_hash"), lit(round).as("r"))
 
         val ctrDelta = replDf.groupBy("host").agg(count(lit(1)).as("d"))
@@ -295,11 +457,27 @@ object CrawlJob {
       }
     }
 
-    // ---- 2. politeness-aware per-host top-k ------------------------------
+    // ---- 2. politeness-aware per-host top-k over the HEAD cache ----------
     // (robots were gated at enqueue time — the queue contains only allowed
-    // URLs, so scheduling needs no robots re-check and no queue purge)
-    val scheduled = Scheduler.schedule(queueAlive, hostState, cfg.roundMillis,
-        broadcastHostState)
+    // URLs, so scheduling needs no robots re-check and no queue purge.)
+    // Guard (driver signal 2 of 2): a host whose head is shallower than its
+    // capacity while its boundary is finite means capacities grew past the
+    // provisioned depth (a roundMillis/budget change across a resume —
+    // impossible in steady state, where depth ≥ cap between folds by
+    // construction). Fall back to one exact full-queue round and re-provision.
+    val capsNow = hostState.select(col("host"),
+      Scheduler.capacity(col("budget"), col("min_delay_ms"), cfg.roundMillis)
+        .cast("long").as("cap"))
+    val shallow = headmeta.filter(col("bp") =!= -1)
+      .join(capsNow, Seq("host"), "inner")
+      .join(headAlive.groupBy("host").agg(count(lit(1)).as("hn")), Seq("host"), "left")
+      .filter(coalesce(col("hn"), lit(0L)) < col("cap"))
+    val emergencyRefill = !shallow.isEmpty
+    val schedSource =
+      if (emergencyRefill) readQueue(spark, state).persist()
+      else headAlive
+    val scheduled = Scheduler.schedule(schedSource.drop("qr"), hostState,
+        cfg.roundMillis, broadcastHostState)
       .select("host", "url", "url_hash", "seq", "priority", "host_rank")
       .as[SchedRow]
 
@@ -340,20 +518,30 @@ object CrawlJob {
     val pages = withOrd.select(lit(round).as("round"), col("host"), col("seq"),
       col("url_hash"), col("image_id"))
 
-    // ---- 6. state updates -------------------------------------------------
+    // ---- 6. state updates: window delta + queue/head tombstones ----------
+    winAddParts += withOrd.select("host", "ord", "seq", "url_hash", "url", "ver")
     window = window
       .unionByName(withOrd.select("host", "ord", "seq", "url_hash", "url", "ver"))
+    // Eviction is a DELTA: only hosts that gained entries this round can
+    // exceed K; rank their (start − retracted + added) rows and tombstone
+    // beyond-K ords — O(active hosts × K), never a full-table rewrite.
+    val emptyWAdd = spark.emptyDataset[(String, Long, Long, Long, String, Long)]
+      .toDF("host", "ord", "seq", "url_hash", "url", "ver")
+    val winAdds = (winAddParts :+ emptyWAdd).reduce(_ unionByName _).localCheckpoint(true)
+    val evictDels = window
+      .join(winAdds.select("host").distinct(), Seq("host"), "left_semi")
       .withColumn("w_rank",
         row_number().over(Window.partitionBy(col("host")).orderBy(col("ord").desc)))
-      .filter(col("w_rank") <= cfg.windowK)
-      .drop("w_rank")
-    addParts += withOrd.select(col("url_hash"), lit(round).as("r"))
-    // queue removal is a DELTA: tombstone this round's committed fetches —
-    // the O(total) anti-join + full rewrite this replaces was the last
-    // O(total)-per-round structure (VERDICT r2 #1)
+      .filter(col("w_rank") > cfg.windowK)
+      .select("host", "ord")
+    winDelParts += evictDels
+    // queue/head removal is a DELTA: tombstone this round's committed
+    // fetches in both logs (they are the same rows — the head is a cache of
+    // the queue's top ranks). Failed fetches stay alive in both for retry.
     val queueDelDelta = withOrd.select(col("url_hash"), lit(round).as("dr"))
+      .localCheckpoint(true)
 
-    // ---- 7. discoveries: canonicalize → robots gate → hash-dedup → seq ---
+    // ---- 7. discoveries: canonicalize → robots gate → membership dedup ---
     val candidatesRaw = withOrd
       .select(explode(col("outlinks")).as("raw_url"))
       .withColumn("url", canonicalize_url(col("raw_url")))
@@ -368,63 +556,45 @@ object CrawlJob {
       .robotsGate(candidatesRaw, hostState, broadcastHostState)
       .drop("path")
 
-    // effective seen for discovery dedup = base − this round's tombstones
-    // + this round's adds (revision replacements and committed fetches)
-    val emptySeenDelta = spark.emptyDataset[(Long, Long)].toDF("url_hash", "r")
-    val addsDelta = (addParts :+ emptySeenDelta).reduce(_ unionByName _)
-      .localCheckpoint(true) // small (O(delta)); feeds count, bloom delta, and commit
-    val delsDelta = (delParts :+ emptySeenDelta).reduce(_ unionByName _)
+    // effective membership for discovery dedup = base − this round's
+    // retractions + this round's replacement adds. (Fetches moved rows
+    // queue→seen without changing membership; new entries are the OUTPUT of
+    // this dedup and join the set for the next round.)
+    val emptyHashDelta = spark.emptyDataset[(Long, Long)].toDF("url_hash", "r")
+    val emptyDelDelta = spark.emptyDataset[(Long, Long)].toDF("url_hash", "dr")
+    val replAdds = (addParts :+ emptyHashDelta).reduce(_ unionByName _)
+      .localCheckpoint(true) // O(revised hosts · depth)
+    val delsDelta = (delParts :+ emptyDelDelta).reduce(_ unionByName _)
       .localCheckpoint(true)
-    val seen = seenBase
+    val memberBase = readMembers(spark, state)
+    val members = memberBase
       .join(delsDelta.select("url_hash"), Seq("url_hash"), "left_anti")
-      .unionByName(addsDelta.select("url_hash"))
+      .unionByName(replAdds.select("url_hash"))
 
-    // O(delta) bookkeeping: every tombstone targets a currently-alive window
-    // entry and every add is dedup-guarded, so the alive count is exact
-    val addsCount = addsDelta.count()
+    val replCount = replAdds.count()
     val delsCount = delsDelta.count()
-    val seenCount = seenCount0 + addsCount - delsCount
-    val isCompaction = round % SeenCompactionInterval == 0
 
-    // bloom maintenance, O(delta): OR-merge this round's adds into the
-    // persisted shard blobs. Compaction rounds instead REBUILD from the
-    // alive set (clears tombstoned bits, resizes with 2× headroom if the
-    // population outgrew the blobs) — O(total) but amortized with the seen
-    // compaction itself, which rewrites the same rows anyway.
-    val newBloomCap =
-      if (isCompaction && seenCount > SeenSet.DefaultShards * bloomCap / 2)
-        math.max(2L * seenCount / SeenSet.DefaultShards, InitialBloomCapPerShard)
-      else bloomCap
-    val blooms =
-      (if (isCompaction) SeenSet.buildBloomsDf(seen, newBloomCap)
-       else if (addsCount == 0) state.read(spark, "blooms")
+    // probe blooms = persisted ∪ this round's replacement adds (tiny);
+    // committed blooms additionally OR in the new entries below.
+    val probeBlooms =
+      (if (replCount == 0) state.read(spark, "blooms")
        else SeenSet.mergeBlooms(state.read(spark, "blooms"),
-         SeenSet.bloomDelta(addsDelta, bloomCap)))
-        .localCheckpoint(true) // ≤ shards blob rows; used for probe AND commit
+         SeenSet.bloomDelta(replAdds, bloomCap)))
+        .localCheckpoint(true) // ≤ shards blob rows; probe AND commit base
 
-    val notSeen =
-      if (seenCount >= bloomThreshold) {
+    val notMember =
+      if (memberCount0 >= bloomThreshold) {
         // probe transport: broadcast while the blob set is small; shard-local
         // files once it is not (at 10^10 keys the blobs are ~GBs — they must
         // not ship to every executor)
-        val estBytes = SeenSet.DefaultShards * BloomSketch.sizeBytes(newBloomCap, SeenSet.DefaultFpp)
+        val estBytes = SeenSet.DefaultShards * BloomSketch.sizeBytes(bloomCap, SeenSet.DefaultFpp)
         val provider =
-          if (estBytes <= maxBloomBroadcastBytes) SeenSet.broadcastProvider(spark, blooms)
-          else SeenSet.writeShardFiles(blooms, f"${state.dir}/bloomblobs/round-$round%06d")
-        SeenSet.filterNew(spark, candidatesAllowed, seen, provider)
-      } else SeenSet.filterNewExact(candidatesAllowed, seen)
+          if (estBytes <= maxBloomBroadcastBytes) SeenSet.broadcastProvider(spark, probeBlooms)
+          else SeenSet.writeShardFiles(probeBlooms, f"${state.dir}/bloomblobs/round-$round%06d")
+        SeenSet.filterNew(spark, candidatesAllowed, members, provider)
+      } else SeenSet.filterNewExact(candidatesAllowed, members)
 
-    // dedup against the alive queue WITHOUT shuffling it: stream the cached
-    // queue against the broadcast candidate keys (both joins are map-side;
-    // a plain left-anti with the 10^10-row queue on the right would
-    // sort-merge-shuffle the whole table every round). Dedup against the
-    // round-START alive queue is exact: rows removed this round (withOrd)
-    // are all in the effective `seen` above.
-    val cands = notSeen.persist()
-    val queuedHit = queueAlive.select("url_hash")
-      .join(broadcast(cands.select("url_hash")), Seq("url_hash"), "left_semi")
-    val fresh = cands
-      .join(broadcast(queuedHit), Seq("url_hash"), "left_anti")
+    val fresh = notMember
       .withColumn("cand_rank",
         row_number().over(Window.partitionBy(col("host")).orderBy(col("url_hash"))).cast("long"))
 
@@ -433,17 +603,54 @@ object CrawlJob {
       .withColumn("seq", coalesce(col("next_seq"), lit(1L)) + col("cand_rank") - 1)
       .select("host", "url", "url_hash", "seq", "priority")
       .withColumn("qr", lit(round))
-      .localCheckpoint(true) // O(delta); feeds hostctr, commit, and (on compaction) the fold
+      .localCheckpoint(true) // O(delta); feeds hostctr, head, commit, fold
 
-    // ---- 8. host counters --------------------------------------------------
+    // head admission: discoveries ranking before their host's boundary join
+    // the head now; the rest live in the backing log until the next fold
+    val headAddDelta = newEntries
+      .join(headmeta, Seq("host"), "left")
+      .filter(beforeBoundary)
+      .drop("bp", "bs")
+
+    val newCount = newEntries.count()
+    val addsCount = replCount + newCount
+    val memberCount = memberCount0 + addsCount - delsCount
+    val membersEnd = members.unionByName(newEntries.select("url_hash"))
+    val isCompaction = round % SeenCompactionInterval == 0
+
+    // bloom maintenance, O(delta): OR-merge this round's adds into the
+    // persisted shard blobs. Compaction rounds instead REBUILD from the
+    // alive set (clears tombstoned bits, resizes with 2× headroom if the
+    // population outgrew the blobs) — O(total) but amortized with the log
+    // fold itself, which rewrites the same rows anyway.
+    val newBloomCap =
+      if (isCompaction && memberCount > SeenSet.DefaultShards * bloomCap / 2)
+        math.max(2L * memberCount / SeenSet.DefaultShards, InitialBloomCapPerShard)
+      else bloomCap
+    val blooms =
+      (if (isCompaction) SeenSet.buildBloomsDf(membersEnd, newBloomCap)
+       else if (newCount == 0) probeBlooms
+       else SeenSet.mergeBlooms(probeBlooms, SeenSet.bloomDelta(newEntries, bloomCap)))
+        .localCheckpoint(true) // ≤ shards blob rows
+
+    // ---- 8. host counters: last-writer-wins delta rows --------------------
     val dOrd = withOrd.groupBy("host").agg(count(lit(1)).as("d_ord"))
     val dSeq = newEntries.groupBy("host").agg(count(lit(1)).as("d_seq"))
-    hostctr = hostctr
+    val hostctrEnd = hostctr
       .join(dOrd, Seq("host"), "full_outer")
       .join(dSeq, Seq("host"), "full_outer")
       .select(col("host"),
         (coalesce(col("next_seq"), lit(1L)) + coalesce(col("d_seq"), lit(0L))).as("next_seq"),
         (coalesce(col("next_ord"), lit(1L)) + coalesce(col("d_ord"), lit(0L))).as("next_ord"))
+    // delta = rows for hosts whose counters moved this round (fetched,
+    // discovered-into, or revised) — O(active hosts), not O(hosts)
+    val activeCtrHosts = dOrd.select("host")
+      .unionByName(dSeq.select("host"))
+      .unionByName(winAdds.select("host")) // replacement hosts (rev path)
+      .distinct()
+    val hostctrDelta = hostctrEnd
+      .join(activeCtrHosts, Seq("host"), "left_semi")
+      .withColumn("hr", lit(round))
 
     // ---- 9. emit (before checkpoint → at-least-once), then commit --------
     val emits = emitParts.reduce(_ unionByName _)
@@ -462,38 +669,54 @@ object CrawlJob {
       .withColumn("round", lit(round))
       .write.mode(SaveMode.Overwrite).parquet(f"$sinkDir/metrics-$round%04d")
 
-    val meta = Seq((round, seenCount, newBloomCap)).toDF("round", "seen_count", "bloom_cap")
-    val emptyQDel = spark.emptyDataset[(Long, Long)].toDF("url_hash", "dr")
-    if (isCompaction) {
-      // compaction: fold BOTH event logs into single alive segments and
-      // clear tombstones — resume and membership semantics unchanged. The
-      // queue fold is the only time the full queue is rewritten (amortized
-      // 1/SeenCompactionInterval); the anti-join side is this round's small
-      // committed set, so even the fold never shuffles the big table.
-      val queueEnd = queueAlive
-        .join(broadcast(withOrd.select("url_hash")), Seq("url_hash"), "left_anti")
+    val meta = Seq((round, memberCount, newBloomCap))
+      .toDF("round", "member_count", "bloom_cap")
+    val winDels = (winDelParts :+ spark.emptyDataset[(String, Long)].toDF("host", "ord"))
+      .reduce(_ unionByName _)
+    val addsDelta = replAdds.unionByName(newEntries.select(col("url_hash"), lit(round).as("r")))
+    if (isCompaction || emergencyRefill) {
+      // compaction (or emergency re-provision): fold every event log into a
+      // single alive segment, clear tombstones, and rebuild the head cache —
+      // resume and membership semantics unchanged. The queue fold is the
+      // only time the full queue is rewritten (amortized 1/interval); the
+      // anti-join side is this round's small committed set, so even the fold
+      // never shuffles the big table.
+      val queueStart = if (emergencyRefill) schedSource else readQueue(spark, state)
+      val queueEnd = queueStart
+        .join(withOrd.select("url_hash"), Seq("url_hash"), "left_anti")
         .unionByName(newEntries)
+        .localCheckpoint(true)
+      val (headEnd, headmetaEnd) = buildHead(queueEnd, hostState, cfg.roundMillis)
       state.commit(Map(
-        "window" -> window, "hostctr" -> hostctr,
-        "seen_add" -> seen.withColumn("r", lit(round)), // already base−dels+adds
-        "seen_del" -> emptySeenDelta,
-        "queue_add" -> queueEnd,
-        "queue_del" -> emptyQDel,
+        "member_add" -> membersEnd.withColumn("r", lit(round)),
+        "member_del" -> emptyDelDelta,
+        "queue_add" -> shapeQueueSegment(queueEnd),
+        "queue_del" -> emptyDelDelta,
+        "head_add" -> headEnd,
+        "head_del" -> emptyDelDelta,
+        "headmeta" -> headmetaEnd,
+        "window_add" -> window.join(evictDels, Seq("host", "ord"), "left_anti")
+          .localCheckpoint(true),
+        "window_del" -> spark.emptyDataset[(String, Long)].toDF("host", "ord"),
+        "hostctr_add" -> hostctrEnd.withColumn("hr", lit(round)),
         "blooms" -> blooms,
         "meta" -> meta))
     } else {
       state.commit(
-        Map("window" -> window, "hostctr" -> hostctr,
-          "blooms" -> blooms, "meta" -> meta),
+        Map("blooms" -> blooms, "meta" -> meta),
         appendOnly = Map(
-          "seen_add" -> addsDelta, "seen_del" -> delsDelta,
-          "queue_add" -> newEntries, "queue_del" -> queueDelDelta))
+          "member_add" -> addsDelta, "member_del" -> delsDelta,
+          "queue_add" -> newEntries, "queue_del" -> queueDelDelta,
+          "head_add" -> headAddDelta, "head_del" -> queueDelDelta,
+          "window_add" -> winAdds, "window_del" -> winDels,
+          "hostctr_add" -> hostctrDelta))
     }
     state.expireOldSnapshots(keep = 2)
     expireOldBloomBlobs(state.dir, round, keep = 2)
 
     fetchedDf.unpersist(); committed.unpersist(); withOrd.unpersist()
-    cands.unpersist(); queueAlive.unpersist()
+    headAlive.unpersist()
+    if (emergencyRefill) schedSource.unpersist()
   }
 
   /** Drop shard-local bloom blob directories older than `keep` rounds behind

@@ -27,7 +27,7 @@ object DriveCrawl {
     println("== probe: state tables at LATEST")
     val st = new graft.tables.SnapshotTable(state)
     println("tables: " + st.tableNames().mkString(","))
-    st.read(spark, "window").groupBy("host").count().orderBy(desc("count")).show(5)
+    CrawlJob.readWindow(spark, st).groupBy("host").count().orderBy(desc("count")).show(5)
     spark.stop()
   }
 }

@@ -1,7 +1,6 @@
 package graft.tools
 
 import graft.fixtures.WebConfig
-import graft.frontier.SeenSet
 import graft.tables.SnapshotTable
 import org.apache.spark.sql.functions._
 
@@ -10,9 +9,11 @@ import org.apache.spark.sql.functions._
   * same politeness caps → identical scheduled count per round) and report
   * per-round wall time. A round whose cost grows with TOTAL queued rows —
   * the round-2 design rewrote the full queue as parquet and anti-joined it
-  * three times per round — shows a ~Q× slope here; the delta-committed
-  * queue's only O(Q) term is one columnar scan of the alive queue, so
-  * per-round time should stay near-flat from 1M to 10M queued rows.
+  * three times per round; the round-3 design still ranked every alive row in
+  * the scheduler — shows a ~Q× slope here. With the head-cache scheduler
+  * (r4), a steady-state round touches only the per-host heads and the
+  * round's deltas: per-round time should be FLAT from 1M to 10M queued rows
+  * (the backing log is read only at seed/compaction).
   *
   *   sbt -batch 'runMain graft.tools.DriveQueueScale 8 1000000,10000000 3'
   */
@@ -45,23 +46,12 @@ object DriveQueueScale {
         .select(col("host"), col("url"), xxhash64(col("url")).as("url_hash"),
           col("seq"), pmod(xxhash64(col("url")), lit(10)).cast("int").as("priority"),
           lit(0L).as("qr"))
-      val hostctr = queueAdd.groupBy("host")
-        .agg((max("seq") + 1).as("next_seq"), lit(1L).as("next_ord"))
-      val emptyWindow = spark.emptyDataset[(String, Long, Long, Long, String, Long)]
-        .toDF("host", "ord", "seq", "url_hash", "url", "ver")
-      val emptySeen = spark.emptyDataset[(Long, Long)].toDF("url_hash", "r")
-      val emptyQDel = spark.emptyDataset[(Long, Long)].toDF("url_hash", "dr")
-      state.commit(
-        Map(
-          "window" -> emptyWindow, "hostctr" -> hostctr,
-          "hoststate" -> spark.createDataset(
-            graft.fixtures.SyntheticWeb.hostStates(cfg)).toDF(),
-          "blooms" -> SeenSet.emptyBlooms(spark, graft.crawl.CrawlJob.InitialBloomCapPerShard),
-          "meta" -> Seq((0L, 0L, graft.crawl.CrawlJob.InitialBloomCapPerShard))
-            .toDF("round", "seen_count", "bloom_cap")),
-        appendOnly = Map(
-          "seen_add" -> emptySeen, "seen_del" -> emptySeen,
-          "queue_add" -> queueAdd, "queue_del" -> emptyQDel))
+      // seed through the same path a real crawl uses: counters, membership,
+      // blooms, and the provisioned per-host head cache all derive from the
+      // pre-accumulated queue
+      graft.crawl.CrawlJob.seedSnapshot(spark, state, queueAdd,
+        spark.createDataset(graft.fixtures.SyntheticWeb.hostStates(cfg)).toDF(),
+        cfg.roundMillis)
 
       (1 to rounds).foreach { r =>
         val t0 = System.nanoTime()

@@ -99,9 +99,9 @@ class CrawlParitySpec extends AnyFunSuite {
     CrawlJob.run(spark, cfg, stateDir, sinkDir)
     assert(engineEmits(sinkDir) === refEmits(ref))
     assert(CrawlJob.readSeen(spark, stateDir).as[Long].collect().toSet === ref.seen)
-    // compaction really folded the log: seen_add has exactly one pre-round-9 segment
+    // compaction really folded the log: member_add has exactly one pre-round-9 segment
     val segs = new graft.tables.SnapshotTable(stateDir)
-      .segmentsOf(new graft.tables.SnapshotTable(stateDir).latestSnapshot.get, "seen_add")
+      .segmentsOf(new graft.tables.SnapshotTable(stateDir).latestSnapshot.get, "member_add")
     assert(segs.size <= 3, s"compaction did not fold segments: $segs")
   }
 
@@ -156,7 +156,7 @@ class CrawlParitySpec extends AnyFunSuite {
       .toDF("host", "url", "url_hash", "seq", "priority", "qr")
     val emptyDel = spark.emptyDataset[(Long, Long)].toDF("url_hash", "dr")
     st.commit(
-      Map("meta" -> Seq((0L, 0L, 0L)).toDF("round", "seen_count", "bloom_cap")),
+      Map("meta" -> Seq((0L, 0L, 0L)).toDF("round", "member_count", "bloom_cap")),
       appendOnly = Map("queue_add" -> addRow(0L), "queue_del" -> emptyDel))
     assert(CrawlJob.readQueue(spark, dir).count() === 1)
     // fetched at round 2 → tombstoned
@@ -206,16 +206,82 @@ class CrawlParitySpec extends AnyFunSuite {
       "failed cold start must not leave a committed snapshot")
   }
 
-  test("bloom state is maintained O(delta): persisted blooms contain every alive key") {
+  test("bloom state is maintained O(delta): persisted blooms contain every alive member") {
     val cfg = WebConfig(numSeeds = 30, rounds = 6)
     val stateDir = tmp(); val sinkDir = tmp()
     CrawlJob.run(spark, cfg, stateDir, sinkDir, bloomThreshold = 0L)
     val state = new graft.tables.SnapshotTable(stateDir)
     val provider = SeenSetTestAccess.provider(spark, state)
-    val alive = CrawlJob.readSeen(spark, stateDir).as[Long].collect()
-    alive.foreach(k => assert(provider.mightContain(k), s"bloom false negative on $k"))
+    val members = CrawlJob.readMembers(spark, state).as[Long].collect()
+    members.foreach(k => assert(provider.mightContain(k), s"bloom false negative on $k"))
+    // the fetched subset is members minus queue, so it probes true as well
+    val seen = CrawlJob.readSeen(spark, stateDir).as[Long].collect()
+    seen.foreach(k => assert(provider.mightContain(k), s"bloom false negative on seen $k"))
     // meta's incremental count equals the actual alive count (never recounted by scan)
-    val metaCount = state.read(spark, "meta").select("seen_count").as[Long].head()
-    assert(metaCount === alive.length.toLong)
+    val metaCount = state.read(spark, "meta").select("member_count").as[Long].head()
+    assert(metaCount === members.length.toLong)
+  }
+
+  test("window and hostctr are delta-committed event logs, folded at compaction") {
+    val cfg = WebConfig(numSeeds = 30, rounds = 10)
+    val ref = RefWalker.run(cfg)
+    val stateDir = tmp(); val sinkDir = tmp()
+    CrawlJob.run(spark, cfg, stateDir, sinkDir)
+    assert(engineEmits(sinkDir) === refEmits(ref))
+    val st = new graft.tables.SnapshotTable(stateDir)
+    // both logs fold at the round-8 compaction: ≤ fold + 2 delta segments
+    for (t <- Seq("window_add", "window_del", "hostctr_add", "head_add", "head_del")) {
+      val segs = st.segmentsOf(st.latestSnapshot.get, t)
+      assert(segs.size <= 3, s"$t not folded at compaction: $segs")
+    }
+    // post-compaction hostctr segments are per-ACTIVE-host deltas, strictly
+    // smaller than the full counter table (the r3 full rewrite is gone)
+    val ctrSegs = st.segmentsOf(st.latestSnapshot.get, "hostctr_add")
+    val lastCtr = spark.read.parquet(ctrSegs.last).count()
+    val allCtr = CrawlJob.readHostctr(spark, st).count()
+    assert(ctrSegs.size > 1, "no post-compaction hostctr delta segment to check")
+    assert(lastCtr <= allCtr, s"hostctr delta ($lastCtr) exceeds the live table ($allCtr)")
+    // the alive window respects the K bound per host
+    val overK = CrawlJob.readWindow(spark, st)
+      .groupBy("host").count().filter(col("count") > cfg.windowK).count()
+    assert(overK === 0L, "window eviction left a host over K deep")
+  }
+
+  test("scheduling from the head cache equals scheduling from the full queue") {
+    // synthetic frontier: 40 hosts × up to 4k rows with mixed priorities —
+    // deep enough that every head is truncated (β finite) for most hosts
+    val q = spark.range(0, 80000, 1, 8)
+      .select(
+        format_string("h%02d.test", (col("id") % 40).cast("int")).as("host"),
+        concat(lit("http://h/p"), col("id").cast("string")).as("url"),
+        xxhash64(concat(lit("u"), col("id").cast("string"))).as("url_hash"),
+        (floor(col("id") / 40) + 1).cast("long").as("seq"),
+        pmod(xxhash64(col("id").cast("string")), lit(10)).cast("int").as("priority"),
+        lit(0L).as("qr"))
+    val hostState = spark.range(40)
+      .select(format_string("h%02d.test", col("id").cast("int")).as("host"),
+        (col("id") % 7 + 1).as("min_delay_ms"), (lit(20L) + col("id") % 30).as("budget"))
+    val roundMillis = 100L
+    val (headAdd, headmeta) = CrawlJob.buildHead(q, hostState, roundMillis)
+    assert(headmeta.count() > 0, "fixture too shallow: no host got a finite boundary")
+    // the head really is bounded: ≤ capacity × HeadDepthRounds rows per host
+    val caps = hostState.select(col("host"),
+      graft.frontier.Scheduler.capacity(col("budget"), col("min_delay_ms"), roundMillis)
+        .cast("long").as("cap"))
+    val over = headAdd.groupBy("host").count().join(caps, Seq("host"))
+      .filter(col("count") > col("cap") * CrawlJob.HeadDepthRounds).count()
+    assert(over === 0L, "head deeper than its provisioning bound")
+    // and scheduling over it is EXACTLY scheduling over the full frontier
+    def sched(src: org.apache.spark.sql.DataFrame) =
+      graft.frontier.Scheduler.schedule(src.drop("qr"), hostState, roundMillis)
+        .select("host", "url_hash", "host_rank")
+        .as[(String, Long, Int)].collect().toSeq.sortBy(r => (r._1, r._3))
+    assert(sched(headAdd) === sched(q))
+    // boundary invariant: every backing (non-head) row ranks at-or-after β
+    val backing = q.join(headAdd.select("url_hash"), Seq("url_hash"), "left_anti")
+      .join(headmeta, Seq("host"), "inner") // truncated hosts only
+      .filter(col("priority") > col("bp") ||
+        (col("priority") === col("bp") && col("seq") < col("bs")))
+    assert(backing.count() === 0L, "backing row ranks before its host's boundary")
   }
 }
