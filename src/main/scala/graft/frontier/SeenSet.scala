@@ -71,26 +71,46 @@ object SeenSet {
   }
 
   object FileShardProvider {
-    // One blob DIRECTORY resident per executor JVM at a time: dirs are
+    // TWO-GENERATION blob-directory residency per executor JVM: dirs are
     // per-round (stateDir/bloomblobs/round-NNNNNN), so without eviction a
     // long crawl accumulates every past round's sketches (~12 GB/round at
-    // the 10^10-key target) until executors OOM. Loading from a new dir
-    // drops the previous dir's entries; keys still embed the dir, so a
-    // straggler task of the old round can never read a wrong shard — it
-    // just re-loads its blob on demand.
+    // the 10^10-key target) until executors OOM. Keys embed the dir, so a
+    // straggler task of an old round can never read a wrong shard.
+    // Keeping the current AND previous generation (instead of clearing on
+    // every dir change) closes two races in the r3 single-dir design: a
+    // straggler of the previous round no longer flips the generation back
+    // and forth re-clearing freshly loaded shards (thrash), and an entry
+    // inserted by a loader that was already past the generation check when
+    // the flip happened is swept at the NEXT flip (the sweep removes
+    // everything outside the two live generations) instead of stranding
+    // forever. Residency is bounded by two rounds of shards plus that
+    // one-flip transient.
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[String, BloomSketch]()
-    @volatile private var cacheDir: String = ""
+    @volatile private var gens: (String, String) = ("", "")
     def shardFile(dir: String, i: Int): java.nio.file.Path =
       java.nio.file.Paths.get(dir, f"shard-$i%05d.bloom")
     private def load(dir: String, i: Int): BloomSketch = {
-      if (cacheDir != dir) synchronized {
-        if (cacheDir != dir) { cache.clear(); cacheDir = dir }
+      if (dir != gens._1 && dir != gens._2) synchronized {
+        if (dir != gens._1 && dir != gens._2) {
+          gens = (dir, gens._1)
+          val (cur, prev) = gens
+          val it = cache.keySet.iterator()
+          while (it.hasNext) {
+            val k = it.next()
+            if (!k.startsWith(cur + "#") && !k.startsWith(prev + "#")) it.remove()
+          }
+        }
       }
       cache.computeIfAbsent(s"$dir#$i", _ =>
         BloomSketch.deserialize(java.nio.file.Files.readAllBytes(shardFile(dir, i))))
     }
     private[frontier] def residentEntries: Int = cache.size()
+    private[frontier] def residentDirs: Set[String] = {
+      val out = scala.collection.mutable.Set[String]()
+      cache.keySet.forEach(k => out += k.substring(0, k.lastIndexOf('#')))
+      out.toSet
+    }
   }
 
   // ---- building & maintaining bloom state ---------------------------------

@@ -10,18 +10,29 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 /** MinHash signature over a shingle-hash array, as a native Catalyst
   * expression: element j = min over shingles h of xxhash64(j, h).
   *
-  * BIT-EXACT with the composed-functions formulation
-  * `array((0 until p).map(j => array_min(transform(shingles, h =>
-  * xxhash64(lit(j), h)))))` — per-perm seed = XXH64.hashInt(j, 42) (the
-  * int literal hashes first), then XXH64.hashLong(h, seed) per shingle —
-  * but in ONE traversal of the shingle array with zero intermediate
-  * arrays, where the composed form allocates p transformed copies of the
-  * array per row and re-walks it p times. On the hottest dedup projection
-  * (p = 32 over ~40-word-shingle documents) that is the difference
-  * between 1 and 65 array materializations per row.
+  * For NON-EMPTY input arrays this is BIT-EXACT with the composed-functions
+  * formulation `array((0 until p).map(j => array_min(transform(shingles,
+  * h => xxhash64(lit(j), h)))))` — per-perm seed = XXH64.hashInt(j, 42)
+  * (the int literal hashes first), then XXH64.hashLong(h, seed) per
+  * shingle — but in ONE traversal of the shingle array with zero
+  * intermediate arrays, where the composed form allocates p transformed
+  * copies of the array per row and re-walks it p times. On the hottest
+  * dedup projection (p = 32 over ~40-word-shingle documents) that is the
+  * difference between 1 and 65 array materializations per row.
   *
-  * A null shingle element contributes the bare per-perm seed, exactly as
-  * `xxhash64(lit(j), null)` does (hash functions skip null children).
+  * Edge contract (deliberately NOT the composed form's, which degrades to
+  * null elements there; pinned by PropertySpec):
+  *  - empty array → [Long.MaxValue × p] (the identity of min — no shingles
+  *    means nothing beats the fold's start value), where the composed form
+  *    yields p nulls (`array_min([]) = null`). Unreachable via
+  *    [[graft.dedup.Dedup.wordShingleHashes]], which is empty-safe, but
+  *    pinned for any other caller;
+  *  - NULL array → NULL (nullIntolerant), vs the composed form's non-null
+  *    array of p nulls;
+  *  - a null shingle ELEMENT contributes the bare per-perm seed, exactly
+  *    as `xxhash64(lit(j), null)` does (hash functions skip null children);
+  *  - dataType is array<bigint> with containsNull = false — this
+  *    expression never produces null elements.
   */
 object MinhashSig {
 

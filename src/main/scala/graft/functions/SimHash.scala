@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
@@ -10,10 +10,16 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit SimHash over a token array, as a native Catalyst expression.
   *
-  * SimHash(doc) = sign-vector of the per-bit sum of each token's xxhash64:
+  * SimHash(doc) = sign-vector of the per-bit sum of each token's hash:
   * bit i of the result is 1 iff Σ_tokens (bit i of hash ? +1 : −1) > 0.
   * Near-duplicate docs land within small Hamming distance; pairing is then a
-  * cheap band-bucket join (see graft.dedup.Dedup.simHashPairs).
+  * cheap band-bucket join (see graft.dedup.Dedup.simhashNearDups).
+  *
+  * The token hash is [[TokenHash]] (codepoint FNV-1a 64 + murmur finalizer)
+  * rather than xxhash64-over-bytes: bit-identical to what plain SQL modular
+  * arithmetic can compute, which is what lets `q_simhash_neardups` carry a
+  * full DuckDB oracle (signature build, banding, AND Hamming verify replay
+  * externally).
   *
   * Implemented as an Expression (not a UDF) so the 64·n inner loop runs on
   * UTF8String bytes with no catalyst→Scala conversion, and `doGenCode` keeps
@@ -29,7 +35,7 @@ object SimHash {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, GraftHash.SparkSeed)
+        val h = TokenHash.hash(s)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

@@ -22,11 +22,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    of retracted ords classifies replays exactly).
   *
   * State is keyed by host. The high-water/counters are O(1); the retracted
-  * ord set grows with the host's total retractions, which the crawl spec
-  * bounds by revisions × window-K — the same rare-event envelope class the
-  * reference bounds by its 128-deep reorg window.
+  * ord set is PRUNED below a low-water mark of
+  * headOrd − [[PruneSlackWindows]] × windowK, keeping per-host state
+  * O(windowK) for the crawl's lifetime (the reference bounds the analogous
+  * structure with its fixed 128-deep window, /root/reference/cache/stack.go
+  * — an unbounded set would grow with total revisions forever). Sound
+  * because a retraction can only target an ord inside the producer's K-deep
+  * window, and a DROPPED replay arrives during the producer's re-emit of
+  * one crashed round — by which point the head has advanced at most one
+  * round past the retracted ord, far inside the slack. A replay older than
+  * the slack would misclassify as a fresh retraction; the producer contract
+  * (at-least-once = immediate re-emit on restart) makes that unreachable.
   */
 object HostCursorStream {
+
+  /** How many window-depths below the high-water mark retracted ords are
+    * remembered before pruning.
+    */
+  val PruneSlackWindows = 8L
 
   final case class CursorState(headOrd: Long, committed: Long,
       retracted: Long, duplicates: Long, retractedOrds: Array[Long]) {
@@ -44,9 +57,11 @@ object HostCursorStream {
   /** Apply one batch of (status, ord) events to a host's cursor state.
     * Events are applied in ord order (commit order within the batch is
     * re-imposed by sort, exactly like the engine's rank join — arrival
-    * order across a shuffle is meaningless).
+    * order across a shuffle is meaningless). Retracted ords below the
+    * low-water mark are pruned at batch end, bounding state at O(windowK).
     */
-  def advance(s: CursorState, events: Seq[(String, Long)]): CursorState = {
+  def advance(s: CursorState, events: Seq[(String, Long)],
+      windowK: Int = 128): CursorState = {
     var st = s
     var dropped = s.retractedSet
     events.sortBy(_._2).foreach { case (status, ord) =>
@@ -65,13 +80,15 @@ object HostCursorStream {
         case _ => ()
       }
     }
-    st.copy(retractedOrds = dropped.toArray.sorted)
+    val lowWater = st.headOrd - PruneSlackWindows * windowK
+    st.copy(retractedOrds = dropped.filter(_ >= lowWater).toArray.sorted)
   }
 
   /** envelopes (streaming or batch Dataset with host/status/ord) →
-    * one CursorUpdate per host per micro-batch.
+    * one CursorUpdate per host per micro-batch. `windowK` is the producer's
+    * revision-window depth, which bounds this operator's retracted-ord state.
     */
-  def hostCursor(envelopes: DataFrame): Dataset[CursorUpdate] = {
+  def hostCursor(envelopes: DataFrame, windowK: Int = 128): Dataset[CursorUpdate] = {
     val spark = envelopes.sparkSession
     import spark.implicits._
     envelopes
@@ -83,7 +100,7 @@ object HostCursorStream {
         (host: String, it: Iterator[(String, String, Long)],
             state: GroupState[CursorState]) =>
           val st0 = state.getOption.getOrElse(CursorState.empty)
-          val st = advance(st0, it.map(e => (e._2, e._3)).toSeq)
+          val st = advance(st0, it.map(e => (e._2, e._3)).toSeq, windowK)
           state.update(st)
           Iterator.single(CursorUpdate(host, st.headOrd, st.committed,
             st.retracted, st.duplicates))

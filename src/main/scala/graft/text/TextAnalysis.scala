@@ -75,20 +75,14 @@ object TextAnalysis {
     }
   }
 
-  /** Winnowing-style document fingerprint: hash every k-gram, then keep the
-    * minimum hash of each sliding window of `window` consecutive k-grams
-    * (distinct). Robust to local edits; the classic MOSS scheme.
+  /** Winnowing-style document fingerprint: hash every k-gram (rolling
+    * polynomial), then keep the minimum hash of each sliding window of
+    * `window` consecutive k-grams (distinct). Robust to local edits; the
+    * classic MOSS scheme. One native codegen expression — O(n) per doc where
+    * the composed-column form was O(n·k) substring hashes — and the hash is
+    * SQL-replayable, so `q_fingerprint` carries a DuckDB oracle. See
+    * [[graft.functions.Winnow]].
     */
-  def fingerprint(text: Column, k: Int = 8, window: Int = 4): Column = {
-    val n = length(text)
-    val grams = when(n < k, array(xxhash64(text)))
-      .otherwise(transform(
-        sequence(lit(1), n - k + 1),
-        i => xxhash64(text.substr(i, lit(k)))))
-    val mins = when(size(grams) <= window, array(array_min(grams)))
-      .otherwise(transform(
-        sequence(lit(0), size(grams) - window),
-        i => array_min(slice(grams, i + 1, lit(window)))))
-    array_distinct(mins)
-  }
+  def fingerprint(text: Column, k: Int = 8, window: Int = 4): Column =
+    graft.functions.Winnow.winnow_fingerprint(text, k, window)
 }

@@ -29,19 +29,32 @@ class PropertySpec extends AnyFunSuite {
       transform(sequence(lit(1L), pmod(col("id"), lit(20)) + 1),
         i => xxhash64(i * (col("id") + 1))).as("sh0"))
     val df = base.select(col("id"),
-      when(col("id") % 7 === 0,
-        concat(array(lit(null).cast("long")), col("sh0")))
+      when(col("id") % 11 === 0, array().cast("array<long>"))
+        .when(col("id") % 7 === 0,
+          concat(array(lit(null).cast("long")), col("sh0")))
         .otherwise(col("sh0")).as("shingles"))
     val numPerms = 32
     val composed = array((0 until numPerms).map { j =>
       array_min(transform(col("shingles"), h => xxhash64(lit(j), h)))
     }: _*)
-    val both = df.select(col("id"),
+    val both = df.select(col("id"), size(col("shingles")).as("n"),
       graft.functions.MinhashSig.minhash_signature(col("shingles"), numPerms).as("fast"),
       composed.as("slow"))
-    val mismatches = both.filter(col("fast") =!= col("slow")).count()
+    val mismatches = both.filter(col("n") > 0 && col("fast") =!= col("slow")).count()
     assert(mismatches === 0L, "expression diverges from the composed formulation")
     assert(both.count() === 400L)
+    // edge contract (ADVICE r3): EMPTY arrays take the min-identity value —
+    // [Long.MaxValue × p] — where the composed form degrades to p nulls;
+    // a NULL input array yields NULL (nullIntolerant)
+    val empties = both.filter(col("n") === 0)
+    assert(empties.count() > 0L, "generator produced no empty arrays")
+    assert(empties.filter(col("fast") =!=
+      array((0 until numPerms).map(_ => lit(Long.MaxValue)): _*)).count() === 0L,
+      "empty-array signature is not the min identity")
+    val nullIn = spark.range(1)
+      .select(graft.functions.MinhashSig.minhash_signature(
+        lit(null).cast("array<long>"), numPerms).as("s"))
+    assert(nullIn.filter(col("s").isNotNull).count() === 0L, "null array must yield null")
     // and it stays inside whole-stage codegen, not a UDF
     val plan = both.queryExecution.executedPlan.toString
     assert(plan.contains("minhash_signature") && !plan.toLowerCase.contains("scalaudf"),

@@ -38,6 +38,27 @@ class HostCursorStreamSpec extends AnyFunSuite {
     assert(counters(s5) === ((5L, 5L, 2L, 4L)))
   }
 
+  test("retracted-ord state is pruned below the low-water mark (bounded forever)") {
+    val k = 4 // tiny window so the slack is exercised quickly
+    var st = HostCursorStream.CursorState.empty
+    // a long crawl: every round commits 10 ords and retracts one recent ord
+    (1 to 500).foreach { r =>
+      val base = r * 10L
+      val events = (1L to 10L).map(i => ("ACCEPTED", base + i)) :+
+        (("DROPPED", base + 5L))
+      st = HostCursorStream.advance(st, events, windowK = k)
+    }
+    assert(st.retracted === 500L, "every retraction counted once")
+    val slack = HostCursorStream.PruneSlackWindows * k
+    assert(st.retractedOrds.length <= slack + 1,
+      s"state grew to ${st.retractedOrds.length} > O(windowK) bound $slack")
+    assert(st.retractedOrds.forall(_ >= st.headOrd - slack), "pruned floor violated")
+    // replay idempotence still holds for retractions inside the slack
+    val recent = st.retractedOrds.last
+    val replay = HostCursorStream.advance(st, Seq(("DROPPED", recent)), windowK = k)
+    assert(replay.retracted === st.retracted && replay.duplicates === st.duplicates + 1)
+  }
+
   test("streaming end-to-end: per-host state survives micro-batches, replay adds nothing") {
     val dir = Files.createTempDirectory("graft-cursor").toString
     def write(name: String, rows: Seq[(String, String, Long)]): Unit = {
