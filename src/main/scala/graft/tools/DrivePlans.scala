@@ -22,14 +22,24 @@ object DrivePlans {
         lit(1).as("priority"), col("url_hash").as("seq"))
     graft.frontier.Scheduler.schedule(queue, hostState, 1000L).explain("formatted")
 
-    // frontier queue delta log: alive view = add segments minus BROADCAST
-    // del tombstones — one columnar pass, no shuffle of the big table
+    // frontier queue delta log: alive view = add segments minus small del
+    // tombstones — one columnar pass, no shuffle of the big table
     println("######## queue delta-log alive view (CrawlJob.readQueue)")
     val cfg = graft.fixtures.WebConfig(numSeeds = 20, rounds = 2)
     val st = java.nio.file.Files.createTempDirectory("plans-state").toString
     val sk = java.nio.file.Files.createTempDirectory("plans-sink").toString
     graft.crawl.CrawlJob.run(spark, cfg, st, sk)
     graft.crawl.CrawlJob.readQueue(spark, st).explain("formatted")
+
+    // head-cache scheduling input: the per-round scan is the BOUNDED head
+    // segments (O(hosts × capacity·depth)), never the queue_add backing log
+    println("######## head-cache alive view (CrawlJob.readHead)")
+    val stTbl = new graft.tables.SnapshotTable(st)
+    graft.crawl.CrawlJob.readHead(spark, stTbl).explain("formatted")
+    val headRows = graft.crawl.CrawlJob.readHead(spark, stTbl).count()
+    val queueRows = graft.crawl.CrawlJob.readQueue(spark, stTbl).count()
+    println(s"HEADSIZE head_alive=$headRows queue_alive=$queueRows " +
+      s"(scheduler scans the former; the latter only at the amortized fold)")
 
     // bloom probe: must sit inside a codegen span, not a UDF
     println("######## bloom probe (SeenSet.filterNew, broadcast provider)")
