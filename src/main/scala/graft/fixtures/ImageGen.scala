@@ -58,6 +58,48 @@ object ImageGen {
 
   @inline private def clamp(v: Int): Int = math.max(0, math.min(255, v))
 
+  /** Seeded raster WITH mid-frequency structure: deterministic sinusoidal
+    * texture (amplitude ≫ the noise floor) over the gradient. The spectral
+    * fixture for perceptual-hash tests/queries: a pure linear gradient's
+    * 8×8 DCT block is degenerate (every AC coefficient ≈ 0, so spectral
+    * signs are pure noise — no perceptual hash survives that input), while
+    * textured rasters behave like real photographs under re-encoding.
+    */
+  def texturedRaster(i: Long): BufferedImage = {
+    val img = raster(i)
+    val (w, h) = (img.getWidth, img.getHeight)
+    // BROADBAND texture (1/f-ish): seeded sinusoids covering the whole
+    // low-frequency block, so every spectral cell carries signal well above
+    // the noise/JPEG floor — the photograph-like case.
+    val comps = (0 until 10).map { k =>
+      val s = mix64(i, 7L + k)
+      (1.0 + java.lang.Math.floorMod(s, 8L),          // fx 1..8 cycles
+        1.0 + java.lang.Math.floorMod(s >>> 8, 8L),   // fy 1..8 cycles
+        java.lang.Math.floorMod(s >>> 16, 628L) / 100.0,
+        java.lang.Math.floorMod(s >>> 24, 628L) / 100.0,
+        30.0 / math.sqrt(k + 1.0))
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var t = 0.0
+        comps.foreach { case (fx, fy, p1, p2, a) =>
+          t += a * math.sin(2 * math.Pi * fx * x / w + p1) *
+            math.sin(2 * math.Pi * fy * y / h + p2)
+        }
+        val p = img.getRGB(x, y)
+        val r = clamp((((p >> 16) & 0xff) + t).toInt)
+        val g = clamp((((p >> 8) & 0xff) + t).toInt)
+        val b = clamp(((p & 0xff) + t).toInt)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
   def fmtOf(i: Long): String = if (i % 4 == 0) "jpeg" else "png"
 
   def encode(img: BufferedImage, fmt: String): Array[Byte] = {

@@ -84,6 +84,151 @@ object Multimodal {
       }).toDF("image_id", "bytes", "w", "h")
   }
 
+  final case class ImagePhash(image_id: String, phash: Long)
+
+  /** 64-bit DCT perceptual hash (the classic pHash scheme): bilinear-resize
+    * to 32×32 grayscale → separable 2D DCT-II → keep the lowest 8×8
+    * frequency block → bit(u,v) = coefficient > median of the 63 AC
+    * coefficients. Robust to re-encoding (PNG↔JPEG), resolution changes and
+    * small edits — the image-column analog of SimHash for text, and the
+    * right key for crawl-scale image dedup: one 8-byte hash per image,
+    * candidate pairs from a banded equi-join, never pixel-space comparison
+    * across rows.
+    */
+  def phash64(img: BufferedImage): Long = {
+    val N = 32
+    val small = new BufferedImage(N, N, BufferedImage.TYPE_INT_RGB)
+    val g2 = small.createGraphics()
+    g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g2.drawImage(img, 0, 0, N, N, null)
+    g2.dispose()
+    val luma = Array.ofDim[Double](N, N)
+    var y = 0
+    while (y < N) {
+      var x = 0
+      while (x < N) {
+        val p = small.getRGB(x, y)
+        luma(y)(x) = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+          0.114 * (p & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    // separable DCT-II: rows, then columns (only the first 8 output
+    // frequencies of the column pass are needed)
+    val cosT = Array.tabulate(N, N)((k, n) => math.cos((2 * n + 1) * k * math.Pi / (2.0 * N)))
+    val rows = Array.ofDim[Double](N, 8)
+    y = 0
+    while (y < N) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var x = 0
+        while (x < N) { s += luma(y)(x) * cosT(u)(x); x += 1 }
+        rows(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coefs = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var yy = 0
+        while (yy < N) { s += rows(yy)(u) * cosT(v)(yy); yy += 1 }
+        coefs(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val ac = coefs.drop(1).sorted
+    val med = (ac(30) + ac(31)) / 2.0 // median of the 63 AC coefficients
+    var bits = 0L
+    var k = 0
+    while (k < 64) {
+      if (coefs(k) > med) bits |= (1L << k)
+      k += 1
+    }
+    bits
+  }
+
+  /** Perceptual hash per image row (binary column → 8 bytes). */
+  def phashAll(spark: SparkSession, images: DataFrame): Dataset[ImagePhash] = {
+    import spark.implicits._
+    images.select("image_id", "bytes").as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ImagePhash(id, phash64(ImageValidate.decode(bytes)))
+      })
+  }
+
+  /** Image near-dups via banded pHash: 4 × 16-bit bands of the perceptual
+    * hash form equi-join buckets ([[graft.dedup.Dedup.simhashNearDups]]'s
+    * shape — never an all-pairs comparison), then Hamming verifies. At
+    * crawl scale the join carries only (id, band, bh) and the per-image
+    * cost is one decode + one 8-byte hash.
+    */
+  def phashNearDups(spark: SparkSession, images: DataFrame,
+      maxHamming: Int = 6): DataFrame = {
+    val sigs = phashAll(spark, images).toDF()
+      .select(col("image_id").as("id"), col("phash").as("sim"))
+    val banded = sigs.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "bh")))
+    val l = banded.select(col("band"), col("bh"), col("id").as("id1"), col("sim").as("s1"))
+    val r = banded.select(col("band"), col("bh"), col("id").as("id2"), col("sim").as("s2"))
+    l.join(r, Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", graft.functions.SimHash.hamming64(col("s1"), col("s2")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
+  final case class AudioFeatures(media_id: String, sample_rate: Int,
+      n_samples: Long, rms: Double, peak: Double, zcr_per_sec: Double)
+
+  /** REAL audio decode + features over a WAV binary column — the JDK's own
+    * `javax.sound.sampled` handles PCM WAV, so unlike [[frameSample]] this
+    * path needs no external codec and is NOT a stub. Batch-wise
+    * `mapPartitions`, nothing on the driver: decode → per-clip RMS, peak,
+    * zero-crossing rate. For other container formats (mp3/ogg/flac) the
+    * `AudioSystem.getAudioInputStream` call is the SPI seam — dropping a
+    * codec jar on the classpath extends it with no code change here.
+    */
+  def audioFeatures(spark: SparkSession, audio: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    audio.select("media_id", "bytes").as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        val raw = in.readAllBytes()
+        in.close()
+        val bb = java.nio.ByteBuffer.wrap(raw).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = raw.length / 2
+        var (sum2, peak) = (0.0, 0.0)
+        var crossings = 0L
+        var prev = 0.0
+        var k = 0
+        while (k < n) {
+          val v = bb.getShort(k * 2) / 32767.0
+          sum2 += v * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (k > 0 && ((prev < 0 && v >= 0) || (prev >= 0 && v < 0))) crossings += 1
+          prev = v
+          k += 1
+        }
+        val secs = n.toDouble / fmt.getSampleRate
+        AudioFeatures(id, fmt.getSampleRate.toInt, n.toLong,
+          math.sqrt(sum2 / math.max(n, 1)), peak,
+          if (secs > 0) crossings / secs else 0.0)
+      })
+  }
+
   /** Frame sampling from a video binary column.
     *
     * STUB: no video codec ships in this container, so the "decoder" is a

@@ -247,6 +247,44 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(overK === 0L, "window eviction left a host over K deep")
   }
 
+  test("capacity growth across a resume triggers the emergency head re-provision and stays exact") {
+    // a frontier deep enough that heads are truncated (finite β) under the
+    // SMALL capacities, seeded directly (the DriveQueueScale shape)
+    val cfgSmall = graft.fixtures.WebConfig(numHosts = 16, rounds = 3, roundMillis = 100L)
+    val cfgBig = cfgSmall.copy(roundMillis = 10000L)
+    def queueAdd = spark.range(0, 50000, 1, 8)
+      .select(
+        format_string("host%02d.test", (col("id") % cfgSmall.numHosts).cast("int")).as("host"),
+        concat(lit("http://host"),
+          format_string("%02d", (col("id") % cfgSmall.numHosts).cast("int")),
+          lit(".test/p/q"), col("id").cast("string")).as("url"),
+        (floor(col("id") / cfgSmall.numHosts) + 1).cast("long").as("seq"))
+      .select(col("host"), col("url"), xxhash64(col("url")).as("url_hash"),
+        col("seq"), pmod(xxhash64(col("url")), lit(10)).cast("int").as("priority"),
+        lit(0L).as("qr"))
+    def hostStateDf = spark.createDataset(
+      graft.fixtures.SyntheticWeb.hostStates(cfgSmall)).toDF()
+
+    // path A: head provisioned for the SMALL capacities, then run with BIG
+    val stA = tmp(); val skA = tmp()
+    CrawlJob.seedSnapshot(spark, new graft.tables.SnapshotTable(stA),
+      queueAdd, hostStateDf, cfgSmall.roundMillis)
+    val seedMetaA = new graft.tables.SnapshotTable(stA) // β from small caps
+    val betaSeed = seedMetaA.read(spark, "headmeta").count()
+    assert(betaSeed > 0, "fixture too shallow: no truncated head at seed")
+    CrawlJob.run(spark, cfgBig, stA, skA)
+
+    // path B: head provisioned for the BIG capacities from the start
+    val stB = tmp(); val skB = tmp()
+    CrawlJob.seedSnapshot(spark, new graft.tables.SnapshotTable(stB),
+      queueAdd, hostStateDf, cfgBig.roundMillis)
+    CrawlJob.run(spark, cfgBig, stB, skB)
+
+    assert(engineEmits(skA) === engineEmits(skB),
+      "emergency re-provision path diverged from the correctly-provisioned run")
+    assert(CrawlJob.readQueue(spark, stA).count() === CrawlJob.readQueue(spark, stB).count())
+  }
+
   test("scheduling from the head cache equals scheduling from the full queue") {
     // synthetic frontier: 40 hosts × up to 4k rows with mixed priorities —
     // deep enough that every head is truncated (β finite) for most hosts

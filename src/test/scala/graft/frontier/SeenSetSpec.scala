@@ -63,23 +63,29 @@ class SeenSetSpec extends AnyFunSuite {
     assert(out === probes.filterNot(keys.toSet).toSet)
   }
 
-  test("file-shard blob cache evicts older rounds' dirs (no unbounded residency)") {
+  test("file-shard blob cache keeps two generations, evicts older (no unbounded residency)") {
     val keys = (1L to 1000L).map(_ * 17L)
     val blooms = SeenSet.buildBloomsDf(seenDf(keys), 1024).localCheckpoint(true)
-    val dirA = java.nio.file.Files.createTempDirectory("graft-blobs-a").toString
-    val dirB = java.nio.file.Files.createTempDirectory("graft-blobs-b").toString
+    def newDir(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft-blobs-$tag").toString
+    val (dirA, dirB, dirC) = (newDir("a"), newDir("b"), newDir("c"))
     val provA = SeenSet.writeShardFiles(blooms, dirA)
     val provB = SeenSet.writeShardFiles(blooms, dirB)
-    keys.take(200).foreach(provA.mightContain) // load round-A shards
-    val afterA = SeenSet.FileShardProvider.residentEntries
-    assert(afterA > 0)
-    keys.take(200).foreach(provB.mightContain) // next round: dir changes
-    // round A's sketches were dropped — residency is one dir's worth, not
-    // cumulative across rounds
-    assert(SeenSet.FileShardProvider.residentEntries <= SeenSet.DefaultShards,
-      s"cache kept ${SeenSet.FileShardProvider.residentEntries} entries across dirs")
-    // and correctness is unaffected either side of the eviction
-    keys.foreach(k => assert(provB.mightContain(k) && provA.mightContain(k)))
+    val provC = SeenSet.writeShardFiles(blooms, dirC)
+    keys.take(200).foreach(provA.mightContain) // round A loads
+    assert(SeenSet.FileShardProvider.residentEntries > 0)
+    keys.take(200).foreach(provB.mightContain) // round B: A stays (straggler
+    keys.take(10).foreach(provA.mightContain)  // tasks of A don't thrash)
+    assert(SeenSet.FileShardProvider.residentDirs.exists(_.startsWith(dirA)))
+    keys.take(200).foreach(provC.mightContain) // round C: A's generation swept
+    assert(!SeenSet.FileShardProvider.residentDirs.exists(_.startsWith(dirA)),
+      "oldest generation not evicted at the flip")
+    assert(SeenSet.FileShardProvider.residentEntries <= 2 * SeenSet.DefaultShards,
+      s"cache kept ${SeenSet.FileShardProvider.residentEntries} entries > two generations")
+    // and correctness is unaffected on every side of the eviction (evicted
+    // shards just reload on demand)
+    keys.foreach(k =>
+      assert(provC.mightContain(k) && provB.mightContain(k) && provA.mightContain(k)))
   }
 
   test("probe expression stays inside whole-stage codegen") {

@@ -45,4 +45,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(f => (f.media_id, f.frame_idx, f.frame_bytes.toSeq)).toSet ===
       again.map(f => (f.media_id, f.frame_idx, f.frame_bytes.toSeq)).toSet)
   }
+
+  test("audio features: real WAV decode matches the analytic signal exactly") {
+    val audio = graft.fixtures.AudioGen.generate(spark, 50, partitions = 4)
+    val got = Multimodal.audioFeatures(spark, audio).collect()
+      .map(a => a.media_id -> a).toMap
+    assert(got.size === 50)
+    (0L until 50L).foreach { i =>
+      val a = got(graft.fixtures.AudioGen.idOf(i))
+      assert(a.sample_rate === graft.fixtures.AudioGen.SampleRate)
+      assert(a.n_samples ===
+        graft.fixtures.AudioGen.SampleRate * graft.fixtures.AudioGen.durationMs(i) / 1000L)
+      // integer periods per clip ⇒ decoded RMS = A/√2 up to quantization
+      val want = graft.fixtures.AudioGen.amplitude(i) / math.sqrt(2.0)
+      assert(math.abs(a.rms - want) < 1e-4, s"clip $i rms ${a.rms} != $want")
+      val peakWant = graft.fixtures.AudioGen.amplitude(i)
+      assert(math.abs(a.peak - peakWant) < 1e-3, s"clip $i peak ${a.peak}")
+      // pure sine crosses zero twice per period
+      val zcrWant = 2.0 * graft.fixtures.AudioGen.freqHz(i)
+      assert(math.abs(a.zcr_per_sec - zcrWant) / zcrWant < 0.02,
+        s"clip $i zcr ${a.zcr_per_sec} != ~$zcrWant")
+    }
+  }
+
+  test("DCT pHash: stable across lossy re-encoding, discriminative across images") {
+    // 20 rasters, each as lossless PNG and lossy JPEG — the crawl-dedup
+    // case: the same image fetched twice behind different encoders
+    val rows = (0 until 20).flatMap { i =>
+      val img = ImageGen.texturedRaster(i)
+      Seq((s"p$i", ImageGen.encode(img, "png")), (s"j$i", ImageGen.encode(img, "jpeg")))
+    }
+    val df = rows.toDF("image_id", "bytes")
+    val hashes = Multimodal.phashAll(spark, df).collect().map(p => p.image_id -> p.phash).toMap
+    // re-encode robustness: every png/jpeg twin within Hamming 6
+    (0 until 20).foreach { i =>
+      val d = java.lang.Long.bitCount(hashes(s"p$i") ^ hashes(s"j$i"))
+      assert(d <= 6, s"raster $i drifted $d bits across re-encoding")
+    }
+    // discrimination: cross-image pairs are far (deterministic rasters)
+    val cross = for (i <- 0 until 20; j <- i + 1 until 20)
+      yield java.lang.Long.bitCount(hashes(s"p$i") ^ hashes(s"p$j"))
+    assert(cross.count(_ <= 6) <= cross.size / 20,
+      s"pHash does not discriminate: ${cross.count(_ <= 6)}/${cross.size} cross pairs ≤ 6")
+
+    // the banded join: every returned pair verifies against brute-force
+    // Hamming, and every twin pair within the banding guarantee (≤ 3 bits
+    // CAN'T miss a 16-bit band; pigeonhole) is recalled
+    val res = Multimodal.phashNearDups(spark, df, maxHamming = 6)
+      .as[(String, String, Int)].collect()
+      .map { case (a, b, h) => (Set(a, b), h) }.toMap
+    res.foreach { case (pair, h) =>
+      val Seq(a, b) = pair.toSeq
+      assert(java.lang.Long.bitCount(hashes(a) ^ hashes(b)) === h)
+    }
+    (0 until 20).foreach { i =>
+      val d = java.lang.Long.bitCount(hashes(s"p$i") ^ hashes(s"j$i"))
+      if (d <= 3) assert(res.contains(Set(s"p$i", s"j$i")),
+        s"twin $i (hamming $d) missed by the banded join")
+    }
+    val recalled = (0 until 20).count(i => res.contains(Set(s"p$i", s"j$i")))
+    assert(recalled >= 16, s"only $recalled/20 re-encode twins recalled")
+  }
 }
