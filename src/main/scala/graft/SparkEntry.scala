@@ -306,9 +306,14 @@ object SparkEntry {
       val exact = SimilaritySearch.bruteForceTopK(
         t(s, d, "embeddings"), "vec_id", "embedding", q, 10)
         .select(col("vec_id").as("id"), col("cosine"))
+      // recall denominator = the exact side's ACTUAL row count (a table
+      // with < k rows yields a shorter top-k; a hard-coded /k would then
+      // understate recall and read as a failure on a small table)
+      val exactN = exact.agg(count(lit(1)).as("n_exact"))
       val guard = exact.join(approx, Seq("id"), "left_semi")
-        .agg((count(lit(1)).cast("double") / 10.0).as("recall"))
-        .filter(col("recall") >= AnnIvfRecallFloor)
+        .agg(count(lit(1)).cast("double").as("n_hit"))
+        .crossJoin(broadcast(exactN))
+        .filter(col("n_hit") / col("n_exact") >= AnnIvfRecallFloor)
         .select(lit(1).as("ok"))
       exact.crossJoin(broadcast(guard)).drop("ok")
     }),

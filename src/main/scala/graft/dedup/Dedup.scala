@@ -139,19 +139,29 @@ object Dedup {
       .filter(col("bucket_n") > maxBucket)
   }
 
-  /** SimHash near-dups: signature → 4 × 16-bit band equi-join → Hamming
-    * verify. Hamming ≤ maxHamming within any shared band ⇒ near-dup pair.
+  /** Shared 16-bit-banded Hamming candidate join over 64-bit signatures —
+    * the common scale shape behind [[simhashNearDups]] (text) and
+    * [[graft.multimodal.Multimodal.phashNearDups]] (images). `sigs` must
+    * carry (id, sim: long). Buckets holding more than `maxBucket` signatures
+    * are dropped before the self-join — a 16-bit band bucket that hot means
+    * the band carries no discriminating information (boilerplate text,
+    * near-uniform thumbnails — both common at crawl scale) and would make
+    * the candidate join O(bucket²); the drop is observable via
+    * [[bandedOversizeBuckets]], never silent. (Identical-content floods that
+    * land in a dropped bucket are exact duplicates — [[exactDupGroups]]'
+    * single hash-aggregate handles those without pairwise work.)
     */
-  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 6): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      SimHash.simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
+  def bandedHammingPairs(sigs: DataFrame, maxHamming: Int,
+      maxBucket: Long): DataFrame = {
     val banded = sigs.select(col("id"), col("sim"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("band", "bh")))
-    val l = banded.select(col("band"), col("bh"), col("id").as("id1"), col("sim").as("s1"))
-    val r = banded.select(col("band"), col("bh"), col("id").as("id2"), col("sim").as("s2"))
+      posexplode(bandKeys16(col("sim"))).as(Seq("band", "bh")))
+    val smallBuckets = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select("band", "bh")
+    val pruned = banded.join(smallBuckets, Seq("band", "bh"), "left_semi")
+    val l = pruned.select(col("band"), col("bh"), col("id").as("id1"), col("sim").as("s1"))
+    val r = pruned.select(col("band"), col("bh"), col("id").as("id2"), col("sim").as("s2"))
     l.join(r, Seq("band", "bh"))
       .filter(col("id1") < col("id2"))
       .dropDuplicates("id1", "id2")
@@ -159,6 +169,34 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
   }
+
+  /** Diagnostic twin of [[bandedHammingPairs]]: the buckets it drops. */
+  def bandedOversizeBuckets(sigs: DataFrame, maxBucket: Long): DataFrame =
+    sigs.select(col("id"), posexplode(bandKeys16(col("sim"))).as(Seq("band", "bh")))
+      .groupBy("band", "bh").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+
+  /** The 4 × 16-bit band keys of a 64-bit signature column. */
+  private def bandKeys16(sim: Column): Column =
+    array((0 until 4).map(b =>
+      shiftright(sim, b * 16).bitwiseAND(lit(0xffffL))): _*)
+
+  /** SimHash near-dups: signature → 4 × 16-bit band equi-join (buckets
+    * capped at `maxBucket`, see [[bandedHammingPairs]]) → Hamming verify.
+    * Hamming ≤ maxHamming within any shared band ⇒ near-dup pair.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6, maxBucket: Long = 1000L): DataFrame =
+    bandedHammingPairs(simhashSigs(df, idCol, textCol), maxHamming, maxBucket)
+
+  /** Diagnostic: the band buckets [[simhashNearDups]] drops as oversize. */
+  def simhashOversizeBuckets(df: DataFrame, idCol: String, textCol: String,
+      maxBucket: Long = 1000L): DataFrame =
+    bandedOversizeBuckets(simhashSigs(df, idCol, textCol), maxBucket)
+
+  private def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      SimHash.simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
 
   /** Exact token-set Jaccard near-dups within blocking keys — for the
     * medium-scale exact variant (and the oracle-checkable one).

@@ -142,10 +142,16 @@ object Multimodal {
       }
       v += 1
     }
+    // classic pHash: the DC term (coefs(0), overall brightness) is EXCLUDED
+    // — bit 0 is forced to 0 and the other 63 bits compare each AC
+    // coefficient against the true median of the 63 AC coefficients
+    // (odd count ⇒ sorted index 31). Including DC would set a constant bit
+    // across all images (DC ≫ the AC median on any natural image), wasting
+    // a hash bit and weakening band-0 bucketing.
     val ac = coefs.drop(1).sorted
-    val med = (ac(30) + ac(31)) / 2.0 // median of the 63 AC coefficients
+    val med = ac(31)
     var bits = 0L
-    var k = 0
+    var k = 1
     while (k < 64) {
       if (coefs(k) > med) bits |= (1L << k)
       k += 1
@@ -163,28 +169,28 @@ object Multimodal {
   }
 
   /** Image near-dups via banded pHash: 4 × 16-bit bands of the perceptual
-    * hash form equi-join buckets ([[graft.dedup.Dedup.simhashNearDups]]'s
-    * shape — never an all-pairs comparison), then Hamming verifies. At
-    * crawl scale the join carries only (id, band, bh) and the per-image
-    * cost is one decode + one 8-byte hash.
+    * hash form equi-join buckets ([[graft.dedup.Dedup.bandedHammingPairs]] —
+    * never an all-pairs comparison, hot buckets capped at `maxBucket` with
+    * the drop observable via [[phashOversizeBuckets]]), then Hamming
+    * verifies. At crawl scale the join carries only (id, band, bh) and the
+    * per-image cost is one decode + one 8-byte hash; a solid-color or
+    * near-uniform thumbnail flood (common in real crawls) lands in a capped
+    * bucket instead of going O(bucket²).
     */
   def phashNearDups(spark: SparkSession, images: DataFrame,
-      maxHamming: Int = 6): DataFrame = {
-    val sigs = phashAll(spark, images).toDF()
-      .select(col("image_id").as("id"), col("phash").as("sim"))
-    val banded = sigs.select(col("id"), col("sim"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("band", "bh")))
-    val l = banded.select(col("band"), col("bh"), col("id").as("id1"), col("sim").as("s1"))
-    val r = banded.select(col("band"), col("bh"), col("id").as("id2"), col("sim").as("s2"))
-    l.join(r, Seq("band", "bh"))
-      .filter(col("id1") < col("id2"))
-      .dropDuplicates("id1", "id2")
-      .withColumn("hamming", graft.functions.SimHash.hamming64(col("s1"), col("s2")))
-      .filter(col("hamming") <= maxHamming)
-      .select("id1", "id2", "hamming")
-  }
+      maxHamming: Int = 6, maxBucket: Long = 1000L): DataFrame =
+    graft.dedup.Dedup.bandedHammingPairs(
+      phashAll(spark, images).toDF()
+        .select(col("image_id").as("id"), col("phash").as("sim")),
+      maxHamming, maxBucket)
+
+  /** Diagnostic: the band buckets [[phashNearDups]] drops as oversize. */
+  def phashOversizeBuckets(spark: SparkSession, images: DataFrame,
+      maxBucket: Long = 1000L): DataFrame =
+    graft.dedup.Dedup.bandedOversizeBuckets(
+      phashAll(spark, images).toDF()
+        .select(col("image_id").as("id"), col("phash").as("sim")),
+      maxBucket)
 
   final case class AudioFeatures(media_id: String, sample_rate: Int,
       n_samples: Long, rms: Double, peak: Double, zcr_per_sec: Double)
@@ -201,8 +207,19 @@ object Multimodal {
     import spark.implicits._
     audio.select("media_id", "bytes").as[(String, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val in0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
+        // The feature loop below reads PCM16 MONO. A stereo / 8-bit / 24-bit
+        // stream decodes without error but would yield silently wrong
+        // n_samples/rms/zcr, so anything else is CONVERTED to the target
+        // format first (the JDK's own PCM converter handles sample size,
+        // endianness, and channel downmix); an unconvertible format fails
+        // loudly here instead of producing plausible garbage.
+        val target = new javax.sound.sampled.AudioFormat(
+          in0.getFormat.getSampleRate, 16, 1, true, false)
+        val in =
+          if (in0.getFormat.matches(target)) in0
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(target, in0)
         val fmt = in.getFormat
         val raw = in.readAllBytes()
         in.close()

@@ -64,6 +64,36 @@ class DedupSpec extends AnyFunSuite {
     assert(near.nonEmpty && near.forall(_ <= 10))
   }
 
+  test("simhash bucket cap: hot bucket dropped observably, planted pair survives") {
+    // a boilerplate flood: 80 IDENTICAL docs share every band bucket, so an
+    // uncapped banded join would generate 80·79/2 candidate pairs from them;
+    // with maxBucket = 50 those buckets are dropped (the flood is exact-dup
+    // territory anyway) while a planted near-dup pair with distinct text
+    // lands in small buckets and must still be found
+    val flood = (0 until 80).map(i => (5000L + i, "copy paste boiler plate " * 10))
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val b = a.replaceFirst("beta", "CHANGED")
+    val df = (flood ++ Seq((1L, a), (2L, b))).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, "doc_id", "text",
+      maxHamming = 10, maxBucket = 50).as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L), "planted pair lost to the cap")
+    assert(!pairs.exists(p => p._1 >= 5000L && p._2 >= 5000L),
+      "flood pairs should have been capped away")
+    // the drop is observable, not silent: all 4 bands of the flood signature
+    val oversize = Dedup.simhashOversizeBuckets(df, "doc_id", "text", maxBucket = 50)
+      .as[(Int, Long, Long)].collect()
+    assert(oversize.length === 4)
+    assert(oversize.forall(_._3 === 80L))
+    // and with no cap pressure the result is identical to the uncapped join
+    val uncapped = Dedup.simhashNearDups(df.filter(col("doc_id") < 100),
+      "doc_id", "text", maxHamming = 10, maxBucket = Long.MaxValue)
+      .as[(Long, Long, Int)].collect().toSet
+    val capped = Dedup.simhashNearDups(df.filter(col("doc_id") < 100),
+      "doc_id", "text", maxHamming = 10, maxBucket = 50)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(capped === uncapped)
+  }
+
   test("embedding near-dups: planted near-identical vectors found via sign-LSH") {
     val rnd = new scala.util.Random(7)
     val base = (0 until 50).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))

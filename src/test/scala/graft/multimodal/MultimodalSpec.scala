@@ -46,6 +46,27 @@ class MultimodalSpec extends AnyFunSuite {
       again.map(f => (f.media_id, f.frame_idx, f.frame_bytes.toSeq)).toSet)
   }
 
+  test("pHash bucket cap: near-uniform image flood dropped observably, twin survives") {
+    // a solid-color thumbnail flood: 40 rows of the SAME bytes share every
+    // band bucket; with maxBucket = 20 those buckets are dropped (exact-dup
+    // territory) while a png/jpeg re-encode twin of a textured raster lands
+    // in small buckets and must still be found
+    val img = ImageGen.texturedRaster(3)
+    val twin = Seq(("tp", ImageGen.encode(img, "png")), ("tj", ImageGen.encode(img, "jpeg")))
+    val floodBytes = ImageGen.encode(ImageGen.raster(99), "png")
+    val flood = (0 until 40).map(i => (f"f$i%03d", floodBytes))
+    val df = (twin ++ flood).toDF("image_id", "bytes")
+    val pairs = Multimodal.phashNearDups(spark, df, maxHamming = 6, maxBucket = 20)
+      .as[(String, String, Int)].collect()
+    assert(pairs.exists(p => Set(p._1, p._2) == Set("tp", "tj")), "twin lost to the cap")
+    assert(!pairs.exists(p => p._1.startsWith("f") && p._2.startsWith("f")),
+      "flood pairs should have been capped away")
+    val oversize = Multimodal.phashOversizeBuckets(spark, df, maxBucket = 20)
+      .as[(Int, Long, Long)].collect()
+    assert(oversize.length === 4)
+    assert(oversize.forall(_._3 >= 40L))
+  }
+
   test("audio features: real WAV decode matches the analytic signal exactly") {
     val audio = graft.fixtures.AudioGen.generate(spark, 50, partitions = 4)
     val got = Multimodal.audioFeatures(spark, audio).collect()
