@@ -340,17 +340,44 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         size(TextAnalysis.fingerprint(col("text"))).as("n_fingerprints"))),
 
-    // ---- multimodal plumbing (rows-only: pinned by ImageValidateSpec) ----
+    // ---- multimodal plumbing --------------------------------------------
     "q_image_meta" -> ((s, d) => {
+      // fully oracled in closed form: the REAL decode recovers (w, h) that
+      // DuckDB recomputes from the id alone (ImageGen dims are
+      // 32 + floorMod(mix64(i, 1|2), 4)·32 — the mix64 chain replays in
+      // SQL), so a decode regression hash-mismatches, not just row-counts
       val images = graft.fixtures.ImageGen.generate(s, 200).toDF()
       graft.multimodal.Multimodal.decodeMeta(s, images).toDF()
-        .select(col("image_id"), col("w"), col("h"), col("fmt"), col("decode_ok"))
+        .select(col("image_id"), col("w"), col("h"), col("fmt"),
+          col("decode_ok").cast("int").as("decode_ok"))
     }),
     "q_image_features" -> ((s, d) => {
+      // the q_ann_ivf pattern: emitted rows are the closed-form
+      // (image_id, aspect) — DuckDB-replayable from the id — cross-joined
+      // with a 1-row guard that exists only while the DECODED pixel
+      // features pass the generator's invariants (all 100 rows decode,
+      // gradient channel means mid-range, nonzero luma spread). A pixel-
+      // path regression empties the guard → 0 rows → driver red. The raw
+      // feature values stay pinned by MultimodalSpec.
       val images = graft.fixtures.ImageGen.generate(s, 100).toDF()
-      graft.multimodal.Multimodal.extractFeatures(s, images).toDF()
-        .select(col("image_id"), round(col("mean_r"), 2).as("mean_r"),
-          round(col("std_luma"), 2).as("std_luma"), round(col("aspect"), 4).as("aspect"))
+      val feats = graft.multimodal.Multimodal.extractFeatures(s, images).toDF()
+      val guard = feats.agg(
+          count(lit(1)).as("n"),
+          min(col("mean_r")).as("lo"), max(col("mean_r")).as("hi"),
+          min(col("std_luma")).as("sl"))
+        .filter(col("n") === 100 && col("lo") > 60 && col("hi") < 200 && col("sl") > 0)
+        .select(lit(1).as("ok"))
+      feats.select(col("image_id"), round(col("aspect"), 4).as("aspect"))
+        .crossJoin(broadcast(guard)).drop("ok")
+    }),
+    "q_video_frames" -> ((s, d) => {
+      // REAL MJPEG-AVI decode (RIFF walk + per-frame ImageIO JPEG — JDK
+      // only, no codec jar), fully oracled: frame counts, timestamps and
+      // per-frame decoded dims are closed-form in the clip id
+      val media = graft.fixtures.VideoGen.generate(s, 60)
+      graft.multimodal.Multimodal.frameSampleAvi(s, media, everyMs = 0, maxFrames = 100)
+        .toDF().select(col("media_id"), col("frame_idx"), col("ts_ms"),
+          col("w"), col("h"))
     }),
     "q_image_phash_dups" -> ((s, d) => { // rows-only: DCT is not SQL-replayable;
       // pinned by MultimodalSpec (re-encode robustness + brute-force verify).
@@ -410,6 +437,49 @@ object SparkEntry {
     val mid = s"(($mid1 + $mid2) & $m)"
     s"((($lolo::HUGEINT + ($mid::HUGEINT * 4294967296::HUGEINT)) " +
       "% 18446744073709551616::HUGEINT)::UBIGINT)"
+  }
+
+  /** Addition mod 2^64 (UBIGINT + overflows in DuckDB; route via HUGEINT). */
+  private def u64add(a: String, b: String): String =
+    s"(((($a)::HUGEINT + ($b)::HUGEINT) % 18446744073709551616::HUGEINT)::UBIGINT)"
+
+  /** `floorMod(signed64(e), m)` over an unsigned-carried 64-bit value — the
+    * JVM's floorMod(long, m) replayed on a UBIGINT column (2^64 mod m ≠ 0
+    * for m ∉ powers of two, so a plain unsigned % would diverge).
+    */
+  private def sMod(e: String, m: Int): String =
+    s"((((CASE WHEN ($e) >= 9223372036854775808::UBIGINT " +
+      s"THEN ($e)::HUGEINT - 18446744073709551616::HUGEINT " +
+      s"ELSE ($e)::HUGEINT END) % $m) + $m) % $m)::BIGINT"
+
+  /** CTE prefix replaying [[graft.functions.GraftHash.mix64]] (splitmix64
+    * finalizer) for ids 0..n-1: emits table `mx` with column `i` plus, for
+    * each (salt, name), `name` = mix64(mix64(i) XOR salt) — the seed scheme
+    * every fixture generator ([[graft.fixtures.ImageGen]]/VideoGen) derives
+    * its closed-form parameters from. One CTE per mix stage keeps the
+    * u64mul limb expansion linear in statement size.
+    */
+  private def mix64ChainSql(n: Int, outs: Seq[(Long, String)]): String = {
+    val G = "11400714819323198485::UBIGINT"  // 0x9e3779b97f4a7c15
+    val C1 = "13787848793156543929::UBIGINT" // 0xbf58476d1ce4e5b9
+    val C2 = "10723151780598845931::UBIGINT" // 0x94d049bb133111eb
+    def s1(z: String) = u64add(z, G)
+    def s2(z: String) = u64mul(s"xor($z, $z >> 30)", C1)
+    def s3(z: String) = u64mul(s"xor($z, $z >> 27)", C2)
+    def s4(z: String) = s"xor($z, $z >> 31)"
+    def cols(f: String => String, names: Seq[String]) =
+      names.map(c => s"${f(c)} AS $c").mkString(", ")
+    val names = outs.map(_._2)
+    s"""ids AS (SELECT i::UBIGINT AS i FROM range($n) t(i)),
+      a1 AS (SELECT i, ${s1("i")} AS z FROM ids),
+      a2 AS (SELECT i, ${s2("z")} AS z FROM a1),
+      a3 AS (SELECT i, ${s3("z")} AS z FROM a2),
+      a4 AS (SELECT i, ${s4("z")} AS mi FROM a3),
+      b0 AS (SELECT i, ${outs.map { case (k, c) => s"xor(mi, $k::UBIGINT) AS $c" }.mkString(", ")} FROM a4),
+      b1 AS (SELECT i, ${cols(s1, names)} FROM b0),
+      b2 AS (SELECT i, ${cols(s2, names)} FROM b1),
+      b3 AS (SELECT i, ${cols(s3, names)} FROM b2),
+      mx AS (SELECT i, ${cols(s4, names)} FROM b3)"""
   }
 
   /** The full q_simhash_neardups oracle: FNV-1a-over-codepoints + murmur
@@ -485,9 +555,44 @@ object SparkEntry {
       SELECT doc_id, len(list_distinct(m)) AS n_fingerprints FROM ms"""
   }
 
+  /** q_image_meta oracle: ImageGen dims/fmt replayed from the id alone. */
+  private def imageMetaOracleSql: String =
+    s"""WITH ${mix64ChainSql(200, Seq(1L -> "wa", 2L -> "hb"))}
+      SELECT 'img' || format('{:010d}', i::BIGINT) AS image_id,
+        CAST(32 + ${sMod("wa", 4)} * 32 AS INTEGER) AS w,
+        CAST(32 + ${sMod("hb", 4)} * 32 AS INTEGER) AS h,
+        CASE WHEN i % 4 = 0 THEN 'jpeg' ELSE 'png' END AS fmt,
+        1 AS decode_ok
+      FROM mx"""
+
+  /** q_image_features oracle: closed-form aspect (the guard is Spark-side). */
+  private def imageFeaturesOracleSql: String =
+    s"""WITH ${mix64ChainSql(100, Seq(1L -> "wa", 2L -> "hb"))}
+      SELECT 'img' || format('{:010d}', i::BIGINT) AS image_id,
+        round(CAST(32 + ${sMod("wa", 4)} * 32 AS DOUBLE) /
+              (32 + ${sMod("hb", 4)} * 32), 4) AS aspect
+      FROM mx"""
+
+  /** q_video_frames oracle: VideoGen fps / frame count / dims from the id. */
+  private def videoFramesOracleSql: String =
+    s"""WITH ${mix64ChainSql(60, Seq(1L -> "wa", 2L -> "hb", 11L -> "fc", 12L -> "nd"))},
+      params AS (SELECT i,
+        CAST(32 + ${sMod("wa", 4)} * 32 AS INTEGER) AS w,
+        CAST(32 + ${sMod("hb", 4)} * 32 AS INTEGER) AS h,
+        (5 + ${sMod("fc", 6)}) AS fps,
+        (4 + ${sMod("nd", 5)}) AS nf FROM mx),
+      f AS (SELECT i, w, h, fps, unnest(range(nf)) AS fi FROM params)
+      SELECT 'vid' || format('{:06d}', i::BIGINT) AS media_id,
+        CAST(fi AS INTEGER) AS frame_idx,
+        CAST(fi * 1000 // fps AS BIGINT) AS ts_ms, w, h
+      FROM f"""
+
   def oracleSql: Map[String, String] = Map(
     "q_simhash_neardups" -> simhashOracleSql,
     "q_fingerprint" -> fingerprintOracleSql,
+    "q_image_meta" -> imageMetaOracleSql,
+    "q_image_features" -> imageFeaturesOracleSql,
+    "q_video_frames" -> videoFramesOracleSql,
     "q_audio_features" ->
       """SELECT 'aud' || format('{:06d}', i) AS media_id,
          16000 AS sample_rate,

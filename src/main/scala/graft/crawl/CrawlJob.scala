@@ -1,7 +1,7 @@
 package graft.crawl
 
 import graft.fixtures.{SyntheticWeb, WebConfig}
-import graft.frontier.{BloomSketch, Scheduler, SeenSet}
+import graft.frontier.{BloomSketch, MemberStore, Scheduler, SeenSet}
 import graft.functions.GraftExpressions._
 import graft.tables.SnapshotTable
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
@@ -208,6 +208,10 @@ object CrawlJob {
     val blooms =
       if (memberCount == 0) SeenSet.emptyBlooms(spark, cap)
       else SeenSet.buildBloomsDf(memberAdd.select("url_hash"), cap)
+    // the exact fingerprint store's first base generation (crash-safe:
+    // written before the commit that references round 0; a crash in between
+    // re-runs the seed, which rewrites these files atomically)
+    MemberStore.writeBase(memberAdd, memberStoreRoot(state), 0L, SeenSet.DefaultShards)
     state.commit(
       Map(
         "hoststate" -> hostState,
@@ -226,6 +230,12 @@ object CrawlJob {
     * headroom once the alive count outgrows it, so fpp stays bounded forever.
     */
   val InitialBloomCapPerShard = 4096L
+
+  /** Root of the exact membership fingerprint store ([[MemberStore]]) —
+    * derived state next to the bloom blobs, rebuilt from the parquet member
+    * log at any fold.
+    */
+  def memberStoreRoot(state: SnapshotTable): String = s"${state.dir}/memberstore"
 
   /** Host-bucketed, rank-sorted layout for full queue segments (the fold and
     * the seed): co-locates a host's rows and gives row groups tight
@@ -321,59 +331,87 @@ object CrawlJob {
 
   /** Provision the head cache from an alive queue: per host, the top
     * H = capacity × [[HeadDepthRounds]] rows by (priority desc, seq asc),
-    * plus the boundary β (the LAST kept row's key when the host was
-    * truncated; the sentinel bp = −1 = "β = ∞, head holds every alive row"
-    * otherwise). Discoveries ranking before β enter the head at enqueue;
-    * rows at-or-after β live only in the backing log until the next fold.
-    * The rank runs over the alive queue — an O(total) pass, which is why it
-    * happens only at seed/compaction where the fold rewrites those rows
-    * anyway.
+    * plus the boundary β (the LAST kept row's key) for hosts that were
+    * TRUNCATED. An untruncated host simply has no headmeta row — absence
+    * encodes β = ∞ ("the head holds every alive row"); there is no written
+    * sentinel for that case. Zero-capacity hosts get the explicit
+    * bp = Int.MaxValue "nothing in head" boundary. Discoveries ranking
+    * before β enter the head at enqueue; rows at-or-after β live only in
+    * the backing log until the next fold. The rank runs over the alive
+    * queue — an O(total) pass, which is why it happens only at
+    * seed/compaction where the fold rewrites those rows anyway.
     */
+  // public: codegen'd (de)serializers live outside this object and cannot
+  // touch private classes
+  final case class HeadIn(host: String, url: String, url_hash: Long,
+      seq: Long, priority: Int, qr: Long, head_depth: Long)
+  final case class HeadOut(tag: Int, host: String, url: String,
+      url_hash: Long, seq: Long, priority: Int, qr: Long, bp: Int, bs: Long)
+
   def buildHead(queueAlive: DataFrame, hostState: DataFrame,
       roundMillis: Long): (DataFrame, DataFrame) = {
+    val spark = queueAlive.sparkSession
+    import spark.implicits._
     val caps = hostState.select(col("host"),
       (Scheduler.capacity(col("budget"), col("min_delay_ms"), roundMillis).cast("long") *
         HeadDepthRounds).as("head_depth"))
-    val ranked = queueAlive
-      .join(caps, Seq("host"), "inner")
-      .withColumn("h_rank", row_number().over(
-        Window.partitionBy(col("host")).orderBy(col("priority").desc, col("seq").asc)))
-      .persist()
-    val headAdd = ranked.filter(col("h_rank") <= col("head_depth"))
+    // ONE host-bucketed shuffle + in-partition sort + one streaming pass:
+    // hosts are whole within a bucket, so a per-host running counter over
+    // (host asc, priority desc, seq asc) order yields the exact rank — no
+    // global window, no persist of the full ranked queue, and none of the
+    // three follow-up aggregations the window version needed (the r4 fold
+    // spent most of its 138 s at 10M rows there). Output is only the kept
+    // head rows + one boundary row per truncated host.
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val combined = queueAlive
+      .join(caps, Seq("host"), "inner") // caps is per-host; planner broadcasts
+      .select(col("host"), col("url"), col("url_hash"), col("seq"),
+        col("priority"), col("qr"), col("head_depth"))
+      .repartition(parts, pmod(xxhash64(col("host")), lit(parts)))
+      .sortWithinPartitions(col("host"), col("priority").desc, col("seq").asc)
+      .as[HeadIn]
+      .mapPartitions { it =>
+        // β exists only for truncated hosts: the row AT rank head_depth is
+        // the last one kept (emitted when a row beyond it proves truncation);
+        // anything after is backing-only. A host with CAPACITY ZERO
+        // (politeness delay exceeds the round budget) gets the explicit
+        // "nothing in head" boundary bp = Int.MaxValue — without it the
+        // host would read as β = ∞ while its whole backlog sits in the
+        // backing log, invisible to any later capacity increase (the
+        // shallow-head guard needs the finite β to trigger re-provision).
+        var curHost: String = null
+        var n = 0L
+        var bP = 0; var bS = 0L
+        it.flatMap { r =>
+          if (r.host != curHost) { curHost = r.host; n = 0L }
+          n += 1
+          if (r.head_depth <= 0L) {
+            if (n == 1) Iterator.single(HeadOut(1, r.host, null, 0L, 0L, 0,
+              0L, Int.MaxValue, Long.MinValue))
+            else Iterator.empty
+          } else if (n <= r.head_depth) {
+            if (n == r.head_depth) { bP = r.priority; bS = r.seq }
+            Iterator.single(HeadOut(0, r.host, r.url, r.url_hash, r.seq,
+              r.priority, r.qr, 0, 0L))
+          } else if (n == r.head_depth + 1) {
+            Iterator.single(HeadOut(1, r.host, null, 0L, 0L, 0, 0L, bP, bS))
+          } else Iterator.empty
+        }
+      }
+      .toDF()
+      .localCheckpoint(true) // bounded: Σ head_depth + one meta row per host
+    val headAdd = combined.filter(col("tag") === 0)
       .select("host", "url", "url_hash", "seq", "priority", "qr")
-    // β exists only for truncated hosts: the row AT rank head_depth is the
-    // last one kept; anything ranking after it is backing-only. A host
-    // whose CAPACITY is zero (politeness delay exceeds the round budget)
-    // keeps an explicit "nothing in head" boundary (bp = Int.MaxValue —
-    // beforeBoundary is false for every real priority): without it the
-    // host would read as β = ∞ ("head covers everything") while its whole
-    // backlog sits in the backing log, and a later capacity increase could
-    // never see it — the shallow-head guard needs the finite β to trigger
-    // the re-provision.
-    val bounded = ranked
-      .groupBy("host", "head_depth").agg(count(lit(1)).as("n"))
-      .filter(col("n") > col("head_depth"))
-      .select("host", "head_depth")
-    val headmetaRows = ranked
-      .join(bounded, Seq("host"), "left_semi")
-      .filter(col("h_rank") === col("head_depth"))
-      .select(col("host"), col("priority").as("bp"), col("seq").as("bs"))
-    val zeroDepth = ranked
-      .filter(col("head_depth") <= 0)
-      .select("host").distinct()
-      .select(col("host"), lit(Int.MaxValue).as("bp"), lit(Long.MinValue).as("bs"))
-    val headmeta = headmetaRows.unionByName(zeroDepth)
-    // materialize both before unpersisting the rank
-    val out = (headAdd.localCheckpoint(true), headmeta.localCheckpoint(true))
-    ranked.unpersist()
-    out
+    val headmeta = combined.filter(col("tag") === 1).select("host", "bp", "bs")
+    (headAdd, headmeta)
   }
 
-  /** Is (priority, seq) strictly before the host's head boundary? Hosts with
-    * no boundary row or the ∞ sentinel (bp = −1) keep everything in head.
+  /** Is (priority, seq) strictly before the host's head boundary? A host
+    * with no boundary row (bp null after the left join) keeps everything in
+    * head — absence IS the β = ∞ encoding ([[buildHead]]).
     */
   private def beforeBoundary: Column =
-    col("bp").isNull || col("bp") === -1 ||
+    col("bp").isNull ||
       col("priority") > col("bp") ||
       (col("priority") === col("bp") && col("seq") < col("bs"))
 
@@ -480,7 +518,7 @@ object CrawlJob {
     val capsNow = hostState.select(col("host"),
       Scheduler.capacity(col("budget"), col("min_delay_ms"), cfg.roundMillis)
         .cast("long").as("cap"))
-    val shallow = headmeta.filter(col("bp") =!= -1)
+    val shallow = headmeta
       .join(capsNow, Seq("host"), "inner")
       .join(headAlive.groupBy("host").agg(count(lit(1)).as("hn")), Seq("host"), "left")
       .filter(coalesce(col("hn"), lit(0L)) < col("cap"))
@@ -571,15 +609,18 @@ object CrawlJob {
     // effective membership for discovery dedup = base − this round's
     // retractions + this round's replacement adds. (Fetches moved rows
     // queue→seen without changing membership; new entries are the OUTPUT of
-    // this dedup and join the set for the next round.)
+    // this dedup and join the set for the next round.) On the bloom path
+    // the base comes from the exact fingerprint store ([[MemberStore]],
+    // probed in O(maybe-seen) against blobs immutable between folds); the
+    // O(total) parquet member log is read ONLY by the exact small-state
+    // path and the compaction fold — no steady-state round scans it.
     val emptyHashDelta = spark.emptyDataset[(Long, Long)].toDF("url_hash", "r")
     val emptyDelDelta = spark.emptyDataset[(Long, Long)].toDF("url_hash", "dr")
     val replAdds = (addParts :+ emptyHashDelta).reduce(_ unionByName _)
       .localCheckpoint(true) // O(revised hosts · depth)
     val delsDelta = (delParts :+ emptyDelDelta).reduce(_ unionByName _)
       .localCheckpoint(true)
-    val memberBase = readMembers(spark, state)
-    val members = memberBase
+    lazy val membersView = readMembers(spark, state)
       .join(delsDelta.select("url_hash"), Seq("url_hash"), "left_anti")
       .unionByName(replAdds.select("url_hash"))
 
@@ -603,8 +644,10 @@ object CrawlJob {
         val provider =
           if (estBytes <= maxBloomBroadcastBytes) SeenSet.broadcastProvider(spark, probeBlooms)
           else SeenSet.writeShardFiles(probeBlooms, f"${state.dir}/bloomblobs/round-$round%06d")
-        SeenSet.filterNew(spark, candidatesAllowed, members, provider)
-      } else SeenSet.filterNewExact(candidatesAllowed, members)
+        SeenSet.filterNewStore(spark, candidatesAllowed,
+          MemberStore.providerAsOf(memberStoreRoot(state), round - 1), provider,
+          delsDelta, replAdds)
+      } else SeenSet.filterNewExact(candidatesAllowed, membersView)
 
     val fresh = notMember
       .withColumn("cand_rank",
@@ -627,7 +670,12 @@ object CrawlJob {
     val newCount = newEntries.count()
     val addsCount = replCount + newCount
     val memberCount = memberCount0 + addsCount - delsCount
-    val membersEnd = members.unionByName(newEntries.select("url_hash"))
+    // only the fold materializes the full membership view; steady-state
+    // rounds never evaluate it. Eager-checkpointed on first use: the fold
+    // consumes it three times (bloom rebuild, member_add rewrite, store
+    // base) and must not re-read the parquet log for each
+    lazy val membersEnd = membersView.unionByName(newEntries.select("url_hash"))
+      .localCheckpoint(true)
     val isCompaction = round % SeenCompactionInterval == 0
 
     // bloom maintenance, O(delta): OR-merge this round's adds into the
@@ -699,6 +747,12 @@ object CrawlJob {
         .unionByName(newEntries)
         .localCheckpoint(true)
       val (headEnd, headmetaEnd) = buildHead(queueEnd, hostState, cfg.roundMillis)
+      // fold the fingerprint store too: one fresh base generation from the
+      // alive membership (the same rows the member_add rewrite persists),
+      // clearing every delta file — written before the commit (crash ⇒
+      // deterministic re-run rewrites it)
+      MemberStore.writeBase(membersEnd, memberStoreRoot(state), round,
+        SeenSet.DefaultShards)
       state.commit(Map(
         "member_add" -> membersEnd.withColumn("r", lit(round)),
         "member_del" -> emptyDelDelta,
@@ -714,6 +768,10 @@ object CrawlJob {
         "blooms" -> blooms,
         "meta" -> meta))
     } else {
+      // O(delta) fingerprint-store maintenance: this round's add/del file
+      // set, written before the commit that references it
+      MemberStore.writeDelta(addsDelta, delsDelta, memberStoreRoot(state),
+        round, SeenSet.DefaultShards)
       state.commit(
         Map("blooms" -> blooms, "meta" -> meta),
         appendOnly = Map(
@@ -725,6 +783,7 @@ object CrawlJob {
     }
     state.expireOldSnapshots(keep = 2)
     expireOldBloomBlobs(state.dir, round, keep = 2)
+    MemberStore.expireOld(memberStoreRoot(state))
 
     fetchedDf.unpersist(); committed.unpersist(); withOrd.unpersist()
     headAlive.unpersist()

@@ -84,13 +84,19 @@ object Scheduler {
 
     // Only the RANK KEYS ride the two window shuffles: the wide payload
     // (url, ...) would multiply shuffle bytes ~5x for no reason — winners
-    // are recovered afterwards by a broadcast join on url_hash
-    // (≤ Σ capacity rows, a few MB even with thousands of hosts). The join
-    // key stays a SINGLE long so Spark builds its specialized long-key
-    // hash relation (a composite (host, url_hash) key was measured 3x
-    // slower on the 3M-row probe side); host equality is enforced by a
-    // post-join filter instead, so an url_hash collision across hosts
-    // (expected a handful at 10^10 URLs) still cannot cross-match payload.
+    // are recovered afterwards by an equi-join on url_hash. The join key
+    // stays a SINGLE long so Spark builds its specialized long-key hash
+    // relation when it broadcasts (a composite (host, url_hash) key was
+    // measured 3x slower on the 3M-row probe side); host equality is
+    // enforced by a post-join filter instead, so an url_hash collision
+    // across hosts (expected a handful at 10^10 URLs) still cannot
+    // cross-match payload. NO forced broadcast hint on the winners side:
+    // winners ≈ Σ capacity = the round's whole fetch set (~10^7 rows,
+    // hundreds of MB at the target regime) — a hard hint would ship that
+    // to every executor unconditionally, the same class of footgun as the
+    // removed tombstone-broadcast hints. AQE picks broadcast by itself at
+    // any size where broadcast is right, and degrades to a shuffle join
+    // instead of an OOM when it is not.
     val narrow = gated.select(
       col("host"), col("url_hash"), col("priority"), col("seq"), col("cap"))
 
@@ -112,7 +118,7 @@ object Scheduler {
       .select(col("host").as("w_host"), col("url_hash"), col("host_rank"))
 
     gated.drop("cap")
-      .join(broadcast(winners), Seq("url_hash"))
+      .join(winners, Seq("url_hash"))
       .filter(col("host") === col("w_host"))
       .drop("w_host")
   }

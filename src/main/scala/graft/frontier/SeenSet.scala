@@ -255,4 +255,42 @@ object SeenSet {
     */
   def filterNewExact(candidates: DataFrame, seen: DataFrame): DataFrame =
     candidates.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+
+  /** Exact dedup against the [[MemberStore]] fingerprint blobs instead of a
+    * parquet anti-join — the 10^10-member shape: the bloom rejects
+    * definitely-new rows map-side as in [[filterNew]], and the maybe-seen
+    * remainder is resolved by the codegen `member_alive` probe against
+    * blobs that are immutable between folds (faulted in once per JVM, then
+    * O(delta) bytes per round) — no per-round O(total members) scan
+    * anywhere on this path.
+    *
+    * The store reflects membership at the END of the previous round; this
+    * round's in-flight changes ride two tiny DataFrames: `delsThisRound`
+    * (revision retractions — a candidate the store calls alive but that was
+    * just retracted IS new again) and `addsThisRound` (replacement adds — a
+    * candidate matching one is a member even if the store predates it).
+    * Both are O(revised hosts · K) rows; the planner broadcasts them.
+    */
+  def filterNewStore(spark: SparkSession, candidates: DataFrame,
+      members: MemberStore.MemberShardProvider, blooms: BloomShardProvider,
+      delsThisRound: DataFrame, addsThisRound: DataFrame): DataFrame = {
+    val routed = blooms match {
+      case FileShardProvider(_, shards) =>
+        candidates.repartition(shards, pmod(col("url_hash"), lit(shards)))
+      case _ => candidates
+    }
+    val flagged = routed
+      .withColumn("_maybe_seen", bloom_might_contain(col("url_hash"), blooms))
+    val definitelyNew = flagged.filter(!col("_maybe_seen")).drop("_maybe_seen")
+    val needCheck = flagged.filter(col("_maybe_seen")).drop("_maybe_seen")
+    val newish = needCheck
+      .join(delsThisRound.select("url_hash").distinct()
+        .withColumn("_retracted", lit(1)), Seq("url_hash"), "left")
+      .filter(!MemberStore.member_alive(col("url_hash"), members) ||
+        col("_retracted").isNotNull)
+      .drop("_retracted")
+    val confirmedNew =
+      newish.join(addsThisRound.select("url_hash"), Seq("url_hash"), "left_anti")
+    definitelyNew.unionByName(confirmedNew)
+  }
 }

@@ -52,6 +52,27 @@ class SchedulerSpec extends AnyFunSuite {
     assert(gated.select("path").as[String].collect().toSeq === Seq("/p/ok"))
   }
 
+  test("winners recovery has no forced broadcast hint; planner still picks one here") {
+    // winners ≈ Σcapacity = the round's whole fetch set — ~10^7 rows at the
+    // target regime, so a hard broadcast() would be an OOM footgun (the
+    // same class as the removed tombstone hints). The LOGICAL plan must
+    // carry no ResolvedHint; at this sandbox size the planner should still
+    // CHOOSE a broadcast-hash join (with the specialized long-key relation)
+    // on its own.
+    // broadcastHostState = false so the ONLY hint that could appear would
+    // be a forced winners broadcast (the host-state broadcast hint is a
+    // separate, size-justified knob)
+    val q = queue((1L to 1000L).map(s => ("h1.test", s"/p/$s", s, (s % 3).toInt)))
+    val out = Scheduler.schedule(q, hostState(Seq("h1.test"), budget = 4), 10000L,
+      broadcastHostState = false)
+    assert(!out.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "schedule() must not force a join strategy")
+    val physical = out.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"),
+      s"planner did not choose broadcast for the small winners side:\n$physical")
+    assert(out.count() === 4L) // semantics unchanged
+  }
+
   test("hot-host skew stays bounded: a 50k-row host yields exactly cap rows") {
     val hot = (1L to 50000L).map(s => ("hot.test", s"/p/$s", s, (s % 10).toInt))
     val cold = (1L to 10L).map(s => ("cold.test", s"/p/$s", s, 0))

@@ -34,6 +34,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(metas.forall(m => m.w === 16 && m.h === 16 && m.decode_ok))
   }
 
+  test("MJPEG-AVI: real container round-trip, frame decode, sampling math") {
+    import graft.fixtures.VideoGen
+    val media = VideoGen.generate(spark, 20, partitions = 4)
+    // every frame (everyMs=0 → step 1): counts, timestamps and dims are all
+    // closed-form in the clip id
+    val all = Multimodal.frameSampleAvi(spark, media, everyMs = 0, maxFrames = 100)
+      .collect()
+    val byClip = all.groupBy(_.media_id)
+    assert(byClip.size === 20)
+    (0L until 20L).foreach { i =>
+      val fs = byClip(VideoGen.idOf(i)).sortBy(_.frame_idx)
+      assert(fs.length === VideoGen.nFrames(i), s"clip $i frame count")
+      val ref = graft.fixtures.ImageGen.raster(i)
+      fs.foreach { f =>
+        assert(f.w === ref.getWidth && f.h === ref.getHeight, s"clip $i dims")
+        assert(f.ts_ms === f.frame_idx * 1000L / VideoGen.fps(i), s"clip $i ts")
+      }
+      // frames are genuinely distinct decodable JPEGs, not repeats
+      assert(fs.map(_.frame_bytes.toSeq).distinct.length === fs.length)
+      // decoded frame content matches the generator. 35 dB, not the 40 dB
+      // payload gate: video fixtures are deliberately BROADBAND (textured
+      // rasters — the hardest JPEG case, sitting at ~39-42 dB by design);
+      // the 40 dB north-rule gate applies to the payload image table's
+      // smooth rasters and is pinned by ImageValidateSpec. 35 dB still
+      // proves this is the RIGHT frame faithfully decoded (a wrong frame
+      // of the same clip measures far lower).
+      val dec = graft.validate.ImageValidate.decode(fs.head.frame_bytes)
+      val psnr = graft.validate.ImageValidate.psnr(VideoGen.frameImage(i, 0), dec)
+      assert(psnr >= 35.0, s"clip $i frame0 psnr $psnr")
+      if (VideoGen.nFrames(i) > 4) {
+        val wrong = graft.validate.ImageValidate.psnr(VideoGen.frameImage(i, 4), dec)
+        assert(wrong < psnr, s"clip $i frame0 decode closer to frame4 than frame0")
+      }
+    }
+    // sampling: everyMs = 2 frame periods → every 2nd frame
+    (0L until 3L).foreach { i =>
+      val everyMs = 2000L / VideoGen.fps(i)
+      val sampled = Multimodal.frameSampleAvi(spark,
+        media.filter(org.apache.spark.sql.functions.col("media_id") === VideoGen.idOf(i)),
+        everyMs, maxFrames = 100).collect().map(_.frame_idx).sorted
+      assert(sampled === (0 until VideoGen.nFrames(i) by 2).toArray, s"clip $i sampling")
+    }
+    // maxFrames truncates
+    val capped = Multimodal.frameSampleAvi(spark, media, 0, maxFrames = 2).collect()
+    assert(capped.groupBy(_.media_id).forall(_._2.length == 2))
+    // non-AVI bytes refuse loudly instead of decoding garbage
+    val bad = Seq(("x", Array.fill[Byte](64)(7))).toDF("media_id", "bytes")
+    assertThrows[org.apache.spark.SparkException](
+      Multimodal.frameSampleAvi(spark, bad, 0, 10).collect())
+  }
+
   test("frameSample stub: deterministic schema-correct batches") {
     val media = Seq(("vidA", 10000L), ("vidB", 1500L), ("vidC", 100L))
       .toDF("media_id", "duration_ms")
