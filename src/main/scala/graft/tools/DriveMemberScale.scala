@@ -36,7 +36,8 @@ object DriveMemberScale {
       val members = spark.range(0, m, 1, parts)
         .select(xxhash64(col("id")).as("url_hash"))
       val candidates = spark.range(0, nCand, 1, parts)
-        .select(xxhash64(when(col("id") % 2 === 0, col("id") / 2)
+        .select(xxhash64(when(col("id") % 2 === 0,
+            floor(col("id") / 2).cast("long")) // integer halves: TRUE members
           .otherwise(col("id") + 4000000000L)).as("url_hash"))
         .localCheckpoint(true)
 

@@ -48,6 +48,18 @@ object DrivePlans {
     val prov = graft.frontier.SeenSet.broadcastProvider(spark, blooms)
     graft.frontier.SeenSet.filterNew(spark, queue, seen, prov).explain("formatted")
 
+    // member-store probe: the maybe-seen remainder resolves via the codegen
+    // member_alive binary-search probe — NO scan of any member table in the
+    // per-round plan (the store blobs live outside the plan entirely)
+    println("######## member fingerprint-store probe (SeenSet.filterNewStore)")
+    val msRoot = java.nio.file.Files.createTempDirectory("plans-memstore").toString
+    graft.frontier.MemberStore.writeBase(seen, msRoot, 0L,
+      graft.frontier.SeenSet.DefaultShards)
+    val memProv = graft.frontier.MemberStore.providerAsOf(msRoot, 0L)
+    val emptyDelta = spark.range(0).select(col("id").as("url_hash"))
+    graft.frontier.SeenSet.filterNewStore(spark, queue, memProv, prov,
+      emptyDelta, emptyDelta).explain("formatted")
+
     // IVF assignment: no Exchange — per-row argmax over a centroid literal
     println("######## ivf assignment")
     val emb = spark.read.parquet(s"$d/embeddings.parquet")

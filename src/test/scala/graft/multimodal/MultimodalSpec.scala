@@ -2,6 +2,7 @@ package graft.multimodal
 
 import graft.SparkTestBase
 import graft.fixtures.ImageGen
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
@@ -140,6 +141,45 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio features: stereo and 8-bit WAVs are converted, not silently misread") {
+    // a stereo PCM16 WAV (same sine on both channels) and an 8-bit mono WAV
+    // of the same signal: before the r5 conversion guard these decoded
+    // without error but produced 2x n_samples / wrong rms; now the JDK PCM
+    // converter downmixes/widens to the PCM16-mono target first
+    val sr = 8000; val n = sr / 2; val a = 0.3; val f = 440.0
+    def sample(k: Int): Double = a * math.sin(2.0 * math.Pi * f * k / sr)
+    def wav(channels: Int, bits: Int): Array[Byte] = {
+      val bytesPer = bits / 8 * channels
+      val data = new Array[Byte](44 + n * bytesPer)
+      val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * bytesPer)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort)
+        .putInt(sr).putInt(sr * bytesPer).putShort(bytesPer.toShort).putShort(bits.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(n * bytesPer)
+      (0 until n).foreach { k =>
+        val v = sample(k)
+        (0 until channels).foreach { _ =>
+          if (bits == 16) bb.putShort(math.round(v * 32767.0).toShort)
+          else bb.put((math.round(v * 127.0) + 128).toByte) // 8-bit WAV is unsigned
+        }
+      }
+      data
+    }
+    val df = Seq(("stereo16", wav(2, 16)), ("mono8", wav(1, 8)))
+      .toDF("media_id", "bytes")
+    val got = Multimodal.audioFeatures(spark, df).collect()
+      .map(x => x.media_id -> x).toMap
+    val want = a / math.sqrt(2.0)
+    got.values.foreach { x =>
+      assert(x.n_samples === n.toLong, s"${x.media_id} n_samples ${x.n_samples}")
+      assert(x.sample_rate === sr)
+      val tol = if (x.media_id == "mono8") 5e-3 else 1e-4 // 8-bit quantization
+      assert(math.abs(x.rms - want) < tol, s"${x.media_id} rms ${x.rms} != $want")
+    }
+  }
+
   test("DCT pHash: stable across lossy re-encoding, discriminative across images") {
     // 20 rasters, each as lossless PNG and lossy JPEG — the crawl-dedup
     // case: the same image fetched twice behind different encoders
@@ -177,5 +217,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
     val recalled = (0 until 20).count(i => res.contains(Set(s"p$i", s"j$i")))
     assert(recalled >= 16, s"only $recalled/20 re-encode twins recalled")
+  }
+
+  test("reverse image search: hammingKnn over pHashes returns the re-encoded twin top-1") {
+    // query with the lossy JPEG, search the lossless PNG index — the
+    // "have we crawled this image before, under any encoder?" lookup
+    val n = 20
+    val pngs = (0 until n).map(i =>
+      (i.toLong, Multimodal.phash64(ImageGen.texturedRaster(i))))
+    val jpegs = (0 until n).map { i =>
+      val bytes = ImageGen.encode(ImageGen.texturedRaster(i), "jpeg")
+      (i, Multimodal.phash64(graft.validate.ImageValidate.decode(bytes)))
+    }
+    val got = graft.search.SimilaritySearch.hammingKnn(spark,
+        pngs.toDF("id", "hash"), jpegs.toDF("qid", "hash"), 3)
+      .filter(col("rank") === 1).as[(Int, Int, Long, Int)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    val top1Hits = (0 until n).count(i => got(i)._1 == i.toLong)
+    assert(top1Hits >= 16, s"only $top1Hits/$n twins found at rank 1: $got")
+    // whenever the twin is strictly closest, rank 1 MUST be the twin
+    (0 until n).foreach { i =>
+      val twin = java.lang.Long.bitCount(pngs(i)._2 ^ jpegs(i)._2)
+      val minCross = (0 until n).filter(_ != i)
+        .map(j => java.lang.Long.bitCount(pngs(j)._2 ^ jpegs(i)._2)).min
+      if (twin < minCross) assert(got(i) === ((i.toLong, twin)), s"query $i")
+    }
   }
 }
