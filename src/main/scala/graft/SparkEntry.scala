@@ -407,6 +407,42 @@ object SparkEntry {
           round(col("rms"), 2).as("rms"))
     }),
 
+    "q_phash_knn" -> ((s, d) => {
+      // reverse image search over a 64-bit perceptual-hash index
+      // (SimilaritySearch.hammingKnn), FULLY oracled: the hash table is
+      // mix64(i, 21) — SQL-replayable via the u64mul limb chain — and each
+      // query flips 3 known bits of a base row's hash, so DuckDB recomputes
+      // every distance and the (dist, id) tie-broken top-5 exactly. The
+      // real-pHash path (query with a JPEG, hit its PNG twin) is pinned by
+      // MultimodalSpec; this row pins the search operator's semantics.
+      import s.implicits._
+      val hashes = s.range(0, 2000).as[Long]
+        .map(i => (i, graft.functions.GraftHash.mix64(i, 21L))).toDF("id", "hash")
+      val queries = (0 until 8).map { q =>
+        val b = q * 250L
+        val mask = (1L << ((b + 1) % 64).toInt) | (1L << ((b + 17) % 64).toInt) |
+          (1L << ((b + 41) % 64).toInt)
+        (q, graft.functions.GraftHash.mix64(b, 21L) ^ mask)
+      }.toDF("qid", "hash")
+      graft.search.SimilaritySearch.hammingKnn(s, hashes, queries, 5)
+    }),
+
+    "q_cuckoo_filter_new" -> ((s, d) => {
+      // the cuckoo-filter dedup path (north_rule: "Bloom/cuckoo filters"):
+      // candidates ride CuckooSet.filterNew — codegen probe routes
+      // definitely-new rows past the anti-join — and the emitted set is
+      // EXACT, so the oracle is a plain anti-join in SQL: a cuckoo false
+      // negative would drop rows and hash-mismatch.
+      val li = t(s, d, "lineitem")
+      val seen = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("url_hash")).distinct()
+      val candidates = li.select(col("l_orderkey").as("url_hash")).distinct()
+      val cap = math.max(1024L, seen.count() * 2 / graft.frontier.CuckooSet.DefaultShards)
+      val table = graft.frontier.CuckooSet.buildCuckooDf(seen, cap)
+      val prov = graft.frontier.CuckooSet.broadcastProvider(s, table)
+      graft.frontier.CuckooSet.filterNew(s, candidates, seen, prov)
+    }),
+
     // ---- the crawl engine end-to-end (rows-only: pinned by CrawlParitySpec)
     "q_crawl_emits" -> ((s, d) => {
       val cfg = graft.fixtures.WebConfig(numSeeds = 30, rounds = 3)
@@ -587,7 +623,32 @@ object SparkEntry {
         CAST(fi * 1000 // fps AS BIGINT) AS ts_ms, w, h
       FROM f"""
 
+  /** q_phash_knn oracle: replay mix64(i, 21) hashes, the 3-bit query flips,
+    * all Hamming distances and the (dist, id) tie-broken top-5 in SQL.
+    * `1 << p` must route through HUGEINT (DuckDB's UBIGINT shift
+    * overflow-checks at bit 63).
+    */
+  private def phashKnnOracleSql: String = {
+    def flip(off: Int) = s"((1::HUGEINT << ((i + $off) % 64)::INTEGER)::UBIGINT)"
+    s"""WITH ${mix64ChainSql(2000, Seq(21L -> "hv"))},
+      h AS (SELECT i::BIGINT AS id, hv FROM mx),
+      q AS (SELECT (i // 250)::INTEGER AS qid,
+          xor(hv, xor(xor(${flip(1)}, ${flip(17)}), ${flip(41)})) AS qh
+        FROM mx WHERE i % 250 = 0),
+      sc AS (SELECT q.qid, h.id, bit_count(xor(h.hv, q.qh))::INTEGER AS dist
+        FROM h CROSS JOIN q),
+      r AS (SELECT qid, id, dist,
+          row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rk FROM sc)
+      SELECT qid, rk::INTEGER AS rank, id AS neighbor_id, dist
+      FROM r WHERE rk <= 5"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_phash_knn" -> phashKnnOracleSql,
+    "q_cuckoo_filter_new" ->
+      """SELECT DISTINCT l_orderkey AS url_hash FROM lineitem
+         WHERE l_orderkey NOT IN
+           (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')""",
     "q_simhash_neardups" -> simhashOracleSql,
     "q_fingerprint" -> fingerprintOracleSql,
     "q_image_meta" -> imageMetaOracleSql,

@@ -116,6 +116,72 @@ object SimilaritySearch {
     vecs.select(col("id"), col("v"), best.getField("cell").as("cell"))
   }
 
+  // ---- Hamming-space k-NN over 64-bit perceptual hashes -------------------
+
+  /** One k-NN candidate: Hamming distance + item id. Ordering is (dist, id)
+    * ascending — the id tiebreak keeps results deterministic, which the
+    * DuckDB oracle replays exactly.
+    */
+  final case class Neighbor(dist: Int, id: Long)
+
+  /** Bounded top-k aggregator (smallest `k` by (dist, id)): the buffer is a
+    * sorted ≤k-element list, so partial aggregation keeps map-side state at
+    * O(k) per (task × query) and the exchange carries ≤ |Q|·k·partitions
+    * rows — a per-query window `row_number` instead shuffles ALL n·|Q|
+    * scored rows into |Q| reducers, the classic skew at crawl scale.
+    */
+  private final class TopKAgg(k: Int)
+      extends Aggregator[Neighbor, Seq[Neighbor], Seq[Neighbor]] {
+    private def lt(a: Neighbor, b: Neighbor): Boolean =
+      a.dist < b.dist || (a.dist == b.dist && a.id < b.id)
+    override def zero: Seq[Neighbor] = Vector.empty
+    override def reduce(b: Seq[Neighbor], n: Neighbor): Seq[Neighbor] =
+      if (b.length >= k && !lt(n, b.last)) b
+      else {
+        val i = b.indexWhere(x => lt(n, x))
+        val ins = if (i < 0) b :+ n else (b.take(i) :+ n) ++ b.drop(i)
+        if (ins.length > k) ins.take(k) else ins
+      }
+    override def merge(a: Seq[Neighbor], b: Seq[Neighbor]): Seq[Neighbor] =
+      b.foldLeft(a)(reduce)
+    override def finish(b: Seq[Neighbor]): Seq[Neighbor] = b
+    override def bufferEncoder: Encoder[Seq[Neighbor]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Neighbor]]()
+    override def outputEncoder: Encoder[Seq[Neighbor]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Neighbor]]()
+  }
+
+  /** Exact k-nearest-neighbors in Hamming space over a 64-bit hash column —
+    * the image-payload analog of [[bruteForceTopK]]: `hashes` is
+    * `(id long, hash long)` (e.g. [[graft.multimodal.Multimodal.phashAll]]
+    * output), `queries` is `(qid int, hash long)`, and the result is the k
+    * closest items per query by `bit_count(hash XOR query)` with (dist, id)
+    * tie-break: `(qid, rank 1..k, neighbor_id, dist)`.
+    *
+    * Plan shape: the query batch is tiny so it broadcasts onto one scan of
+    * the hash table (no shuffle of the big side), and the per-query top-k
+    * runs through [[TopKAgg]] — map-side partials keep O(k) state per query
+    * and the single exchange carries ≤ |Q|·k·partitions candidate rows, so
+    * the whole thing survives a 10^10-image hash table: one columnar scan
+    * of 8-byte hashes + an O(|Q|·k) aggregate. `phashNearDups` answers
+    * "all pairs within radius r"; this answers "the k most similar images
+    * to THIS one" — reverse-image search over the crawl's perceptual index.
+    */
+  def hammingKnn(spark: SparkSession, hashes: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k))
+    val scored = hashes.select(col("id"), col("hash"))
+      .crossJoin(broadcast(queries.select(col("qid"), col("hash").as("qh"))))
+      .select(col("qid"),
+        bit_count(col("hash").bitwiseXOR(col("qh"))).cast("int").as("dist"),
+        col("id"))
+    scored.groupBy(col("qid"))
+      .agg(topk(col("dist"), col("id")).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("n.id").as("neighbor_id"), col("n.dist").as("dist"))
+  }
+
   /** Probe: exact cosine top-k within the `nprobe` nearest cells. */
   def searchIvf(index: IvfIndex, query: Array[Double], k: Int, nprobe: Int): DataFrame = {
     def cos(a: Array[Double], b: Array[Double]): Double = {

@@ -84,4 +84,39 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"cell assignment shuffles:\n$plan")
     idx.assigned.unpersist()
   }
+
+  test("hammingKnn ≡ scala brute force with (dist, id) tie-break") {
+    import graft.functions.GraftHash.mix64
+    val n = 1500
+    val hashes = (0L until n).map(i => (i, mix64(i, 21L)))
+    val queries = (0 until 6).map(q => (q, mix64(q.toLong * 97L, 21L) ^ (1L << q)))
+    val got = SimilaritySearch.hammingKnn(spark,
+        hashes.toDF("id", "hash"), queries.toDF("qid", "hash"), 7)
+      .as[(Int, Int, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      }
+    val want = queries.map { case (q, qh) =>
+      q -> hashes.map { case (id, h) =>
+        (id, java.lang.Long.bitCount(h ^ qh))
+      }.sortBy { case (id, d) => (d, id) }.take(7).toSeq
+    }.toMap
+    assert(got === want)
+    // the base row (dist exactly 1: one flipped bit) is always rank 1
+    got.foreach { case (q, rs) => assert(rs.head === ((q.toLong * 97L, 1))) }
+  }
+
+  test("hammingKnn exchange carries only bounded top-k partials, not all scored rows") {
+    import graft.functions.GraftHash.mix64
+    val hashes = (0L until 2000L).map(i => (i, mix64(i, 22L))).toDF("id", "hash")
+    val queries = (0 until 4).map(q => (q, mix64(q.toLong, 23L))).toDF("qid", "hash")
+    val plan = SimilaritySearch.hammingKnn(spark, hashes, queries, 5)
+      .queryExecution.executedPlan.toString
+    // the big side must meet the query batch via broadcast (no shuffle of
+    // the scan), and the per-query top-k must be an aggregate with map-side
+    // partials (HashAggregate/ObjectHashAggregate) — NOT a window sort
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("Window"), s"per-query window rank would shuffle all scored rows:\n$plan")
+    assert(plan.contains("Aggregate"), plan)
+  }
 }
