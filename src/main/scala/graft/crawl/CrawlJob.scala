@@ -198,7 +198,8 @@ object CrawlJob {
       .withColumn("hr", lit(0L))
     val memberAdd = queueAdd.select(col("url_hash"), lit(0L).as("r"))
     val memberCount = queueAdd.count()
-    val (headAdd, headmeta) = buildHead(queueAdd, hostState, roundMillis)
+    val (queueShaped, headAdd, headmeta) =
+      shapeAndBuildHead(queueAdd, hostState, roundMillis)
     val emptyWindow = spark.emptyDataset[(String, Long, Long, Long, String, Long)]
       .toDF("host", "ord", "seq", "url_hash", "url", "ver")
     val emptyWDel = spark.emptyDataset[(String, Long)].toDF("host", "ord")
@@ -220,7 +221,7 @@ object CrawlJob {
         "meta" -> Seq((0L, memberCount, cap)).toDF("round", "member_count", "bloom_cap")),
       appendOnly = Map(
         "member_add" -> memberAdd, "member_del" -> emptyDel,
-        "queue_add" -> shapeQueueSegment(queueAdd), "queue_del" -> emptyDel,
+        "queue_add" -> queueShaped, "queue_del" -> emptyDel,
         "head_add" -> headAdd, "head_del" -> emptyDel,
         "window_add" -> emptyWindow, "window_del" -> emptyWDel,
         "hostctr_add" -> hostctr))
@@ -236,17 +237,6 @@ object CrawlJob {
     * log at any fold.
     */
   def memberStoreRoot(state: SnapshotTable): String = s"${state.dir}/memberstore"
-
-  /** Host-bucketed, rank-sorted layout for full queue segments (the fold and
-    * the seed): co-locates a host's rows and gives row groups tight
-    * (priority, seq) min/max stats, so the amortized compaction fold and any
-    * emergency full-queue read scan in rank order instead of randomly.
-    */
-  private def shapeQueueSegment(q: DataFrame): DataFrame = {
-    val parts = math.max(q.sparkSession.sparkContext.defaultParallelism, 1)
-    q.repartition(parts, pmod(xxhash64(col("host")), lit(parts)))
-      .sortWithinPartitions(col("host"), col("priority").desc, col("seq").asc)
-  }
 
   /** The alive membership set (= seen ∪ queued) at the latest snapshot: adds
     * minus later tombstones. A tombstone (revision retraction) kills only
@@ -350,25 +340,43 @@ object CrawlJob {
 
   def buildHead(queueAlive: DataFrame, hostState: DataFrame,
       roundMillis: Long): (DataFrame, DataFrame) = {
+    val (_, headAdd, headmeta) = shapeAndBuildHead(queueAlive, hostState, roundMillis)
+    (headAdd, headmeta)
+  }
+
+  /** The fold's single full-queue pass: ONE host-bucketed shuffle +
+    * in-partition sort serves BOTH outputs that need it — the committed
+    * `queue_add` segment (hosts co-located, rank-ordered row groups, so
+    * row-group (priority, seq) min/max stats stay tight and any emergency
+    * full-queue read scans in rank order) and the provisioned head cache.
+    * Hosts are whole within a bucket, so a per-host running counter over
+    * (host asc, priority desc, seq asc) order yields the exact head rank —
+    * no global window, and no second shuffle of the 10^10-row queue at
+    * commit (the r4 fold shuffled it once for the head rank and AGAIN for
+    * the segment layout; at 10M rows those two passes were ~45 of the 92 s
+    * fold). The caps join is inner like the robots gate: every enqueue
+    * path passes [[Scheduler.robotsGate]] (inner on hoststate), so queue
+    * hosts ⊆ hoststate hosts and the join drops nothing.
+    *
+    * @return (shaped alive queue WITHOUT the head_depth carrier — commit it
+    *         as-is, do not re-shape; head_add rows; headmeta boundary rows)
+    */
+  def shapeAndBuildHead(queueAlive: DataFrame, hostState: DataFrame,
+      roundMillis: Long): (DataFrame, DataFrame, DataFrame) = {
     val spark = queueAlive.sparkSession
     import spark.implicits._
     val caps = hostState.select(col("host"),
       (Scheduler.capacity(col("budget"), col("min_delay_ms"), roundMillis).cast("long") *
         HeadDepthRounds).as("head_depth"))
-    // ONE host-bucketed shuffle + in-partition sort + one streaming pass:
-    // hosts are whole within a bucket, so a per-host running counter over
-    // (host asc, priority desc, seq asc) order yields the exact rank — no
-    // global window, no persist of the full ranked queue, and none of the
-    // three follow-up aggregations the window version needed (the r4 fold
-    // spent most of its 138 s at 10M rows there). Output is only the kept
-    // head rows + one boundary row per truncated host.
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
-    val combined = queueAlive
+    val shaped = queueAlive
       .join(caps, Seq("host"), "inner") // caps is per-host; planner broadcasts
       .select(col("host"), col("url"), col("url_hash"), col("seq"),
         col("priority"), col("qr"), col("head_depth"))
       .repartition(parts, pmod(xxhash64(col("host")), lit(parts)))
       .sortWithinPartitions(col("host"), col("priority").desc, col("seq").asc)
+      .localCheckpoint(true) // read twice: head pass below + the commit write
+    val combined = shaped
       .as[HeadIn]
       .mapPartitions { it =>
         // β exists only for truncated hosts: the row AT rank head_depth is
@@ -403,7 +411,7 @@ object CrawlJob {
     val headAdd = combined.filter(col("tag") === 0)
       .select("host", "url", "url_hash", "seq", "priority", "qr")
     val headmeta = combined.filter(col("tag") === 1).select("host", "bp", "bs")
-    (headAdd, headmeta)
+    (shaped.drop("head_depth"), headAdd, headmeta)
   }
 
   /** Is (priority, seq) strictly before the host's head boundary? A host
@@ -687,11 +695,12 @@ object CrawlJob {
       if (isCompaction && memberCount > SeenSet.DefaultShards * bloomCap / 2)
         math.max(2L * memberCount / SeenSet.DefaultShards, InitialBloomCapPerShard)
       else bloomCap
-    val blooms =
+    val blooms = timed(if (isCompaction) "fold:members+bloom-rebuild" else "round:bloom-delta") {
       (if (isCompaction) SeenSet.buildBloomsDf(membersEnd, newBloomCap)
        else if (newCount == 0) probeBlooms
        else SeenSet.mergeBlooms(probeBlooms, SeenSet.bloomDelta(newEntries, bloomCap)))
         .localCheckpoint(true) // ≤ shards blob rows
+    }
 
     // ---- 8. host counters: last-writer-wins delta rows --------------------
     val dOrd = withOrd.groupBy("host").agg(count(lit(1)).as("d_ord"))
@@ -745,18 +754,25 @@ object CrawlJob {
       val queueEnd = queueStart
         .join(withOrd.select("url_hash"), Seq("url_hash"), "left_anti")
         .unionByName(newEntries)
-        .localCheckpoint(true)
-      val (headEnd, headmetaEnd) = buildHead(queueEnd, hostState, cfg.roundMillis)
+      // single full-queue pass: the shaped (host-bucketed, rank-sorted,
+      // checkpointed) output IS the committed queue_add segment, and the
+      // head cache is provisioned from the same sorted partitions — the r4
+      // fold shuffled the queue once here and again at commit
+      val (queueShaped, headEnd, headmetaEnd) = timed("fold:build-head") {
+        shapeAndBuildHead(queueEnd, hostState, cfg.roundMillis)
+      }
       // fold the fingerprint store too: one fresh base generation from the
       // alive membership (the same rows the member_add rewrite persists),
       // clearing every delta file — written before the commit (crash ⇒
       // deterministic re-run rewrites it)
-      MemberStore.writeBase(membersEnd, memberStoreRoot(state), round,
-        SeenSet.DefaultShards)
-      state.commit(Map(
+      timed("fold:store-base") {
+        MemberStore.writeBase(membersEnd, memberStoreRoot(state), round,
+          SeenSet.DefaultShards)
+      }
+      timed("fold:commit")(state.commit(Map(
         "member_add" -> membersEnd.withColumn("r", lit(round)),
         "member_del" -> emptyDelDelta,
-        "queue_add" -> shapeQueueSegment(queueEnd),
+        "queue_add" -> queueShaped,
         "queue_del" -> emptyDelDelta,
         "head_add" -> headEnd,
         "head_del" -> emptyDelDelta,
@@ -766,7 +782,7 @@ object CrawlJob {
         "window_del" -> spark.emptyDataset[(String, Long)].toDF("host", "ord"),
         "hostctr_add" -> hostctrEnd.withColumn("hr", lit(round)),
         "blooms" -> blooms,
-        "meta" -> meta))
+        "meta" -> meta)))
     } else {
       // O(delta) fingerprint-store maintenance: this round's add/del file
       // set, written before the commit that references it
@@ -789,6 +805,20 @@ object CrawlJob {
     headAlive.unpersist()
     if (emergencyRefill) schedSource.unpersist()
   }
+
+  /** Opt-in coarse phase timing (set GRAFT_TIMING=1): prints wall time per
+    * fold phase so a DriveQueueScale run can attribute the amortized fold
+    * cost to queue fold / head build / store base / bloom rebuild / commit.
+    * Inert (no clock read, no output) unless the env var is set.
+    */
+  @inline private def timed[T](name: String)(f: => T): T =
+    if (!sys.env.contains("GRAFT_TIMING")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"TIMING $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
 
   /** Drop shard-local bloom blob directories older than `keep` rounds behind
     * the latest (file-mode probe transport only; a no-op otherwise).
