@@ -241,6 +241,18 @@ object SparkEntry {
     "q_simhash_neardups" -> ((s, d) => // oracled: DuckDB replays the FNV+fmix
       // signature build, 16-bit banding, and Hamming verify bit-exactly
       Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text")),
+    "q_dup_clusters" -> ((s, d) => // oracled: recursive-CTE min-label closure
+      // over the exact Jaccard pair set the minhash oracle replays
+      Dedup.connectedComponents(
+        Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text"),
+        idOut = "doc_id", componentOut = "cluster_id")),
+    "q_dedup_canonical" -> ((s, d) => { // oracled: survivors = docs minus
+      // clustered non-minima from the same recursive closure
+      val docs = t(s, d, "documents")
+      Dedup.dedupCanonical(docs, "doc_id",
+          Dedup.minhashNearDups(docs, "doc_id", "text"))
+        .select("doc_id", "lang", "n_chars")
+    }),
     "q_embed_neardups" -> ((s, d) => {
       // Multi-band sign-LSH at cosine 0.9 over the embeddings table with
       // PLANTED near-dups (the raw driver table has no pairs ≥ 0.9, which
@@ -591,6 +603,37 @@ object SparkEntry {
       SELECT doc_id, len(list_distinct(m)) AS n_fingerprints FROM ms"""
   }
 
+  /** Shared CTE chain for the cluster oracles: the exact word-3-shingle
+    * Jaccard pair set (the same twin `q_minhash_neardups` is checked
+    * against), symmetric edge closure, and a recursive min-label reach set.
+    * `cc` holds (node, lab) for every label that reaches the node through
+    * monotone hops (lab < hop target) — the component minimum m reaches
+    * every member because every other member id is > m, so
+    * min(lab) GROUP BY node is exactly the component id.
+    */
+  private val minhashClusterCte: String =
+    """toks AS (
+         SELECT doc_id AS id, text, regexp_split_to_array(trim(text), '\s+') AS tk
+         FROM documents),
+       sh AS (
+         SELECT id, CASE WHEN len(tk) < 3 THEN [text]
+           ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
+         FROM toks),
+       pairs AS (
+         SELECT a.id AS id1, b.id AS id2
+         FROM sh a JOIN sh b ON a.id < b.id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           len(list_distinct(list_concat(a.s, b.s))) >= 0.6),
+       edges AS (
+         SELECT id1 AS a, id2 AS b FROM pairs
+         UNION SELECT id2, id1 FROM pairs),
+       cc AS (
+         SELECT a AS node, a AS lab FROM edges
+         UNION
+         SELECT e.b AS node, cc.lab FROM cc JOIN edges e ON e.a = cc.node
+         WHERE cc.lab < e.b)"""
+
   /** q_image_meta oracle: ImageGen dims/fmt replayed from the id alone. */
   private def imageMetaOracleSql: String =
     s"""WITH ${mix64ChainSql(200, Seq(1L -> "wa", 2L -> "hb"))}
@@ -827,6 +870,15 @@ object SparkEntry {
            ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.id < b.id
          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
            len(list_distinct(list_concat(a.toks, b.toks))) >= 0.55""",
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashClusterCte
+         SELECT node AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY node""",
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE $minhashClusterCte,
+         dropids AS (
+           SELECT node FROM cc GROUP BY node HAVING node <> min(lab))
+         SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT node FROM dropids)""",
     "q_minhash_neardups" ->
       """WITH toks AS (
            SELECT doc_id AS id, text, regexp_split_to_array(trim(text), '\s+') AS tk

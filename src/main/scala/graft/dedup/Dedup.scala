@@ -302,4 +302,100 @@ object Dedup {
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
   }
+
+  /** Connected components over an undirected pair list — the cluster step
+    * every near-dup operator here needs to go from PAIRS to DEDUP GROUPS
+    * (pick one canonical doc per cluster, drop the rest). Alternating
+    * large-star / small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): converges in O(log n) alternations on
+    * any graph — unlike naive min-label propagation, whose round count is
+    * the component DIAMETER (a chain of pairwise near-dups, common in
+    * boilerplate drift, makes that O(n)). Each alternation is two keyed
+    * aggregations + two equi-joins over the CURRENT edge set (which only
+    * shrinks toward star graphs); nothing driver-side except the O(1)
+    * convergence probe, and lineage is cut per alternation.
+    *
+    * Input: two long id columns (pair endpoints); self-pairs ignored.
+    * Output: (`idOut`, `componentOut`) for every node that appears in at
+    * least one pair — component = MIN node id in the component (stable,
+    * deterministic). Singletons never enter the pair list, so callers keep
+    * them implicitly (see [[dedupCanonical]]).
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id1",
+      idB: String = "id2", idOut: String = "id",
+      componentOut: String = "component", maxAlternations: Int = 30): DataFrame = {
+    // canonical orientation (big, small); dedup once up front
+    var e = pairs
+      .select(greatest(col(idA), col(idB)).cast("long").as("a"),
+        least(col(idA), col(idB)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var prev = checksum(e)
+    var done = prev._1 == 0L
+    var i = 0
+    while (!done && i < maxAlternations) {
+      val ss = ccAlternate(e).localCheckpoint(true)
+      val cur = checksum(ss)
+      done = cur == prev
+      prev = cur
+      e = ss
+      i += 1
+    }
+    require(done, s"connectedComponents did not converge in $maxAlternations " +
+      "alternations — raise maxAlternations (needed rounds grow O(log n))")
+    // fixpoint: every edge is (node, root); roots appear only on the b side
+    e.select(col("a").as(idOut), col("b").as(componentOut))
+      .union(e.select(col("b"), col("b")).distinct())
+  }
+
+  /** One large-star + small-star alternation over an oriented (a > b) edge
+    * set. Exposed package-private so plan tooling can show the per-round
+    * shuffle shape: two keyed min-aggregations, two equi-joins on the same
+    * key, two distincts — all on narrow (long, long) rows.
+    */
+  private[graft] def ccAlternate(e: DataFrame): DataFrame = {
+    // large-star: for each node u (symmetric adjacency), connect every
+    // LARGER neighbor v to m = min(N(u) ∪ {u})
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val m1 = sym.groupBy("a").agg(min(col("b")).as("mn"))
+      .select(col("a"), least(col("a"), col("mn")).as("m"))
+    val ls = sym.join(m1, Seq("a"))
+      .filter(col("b") > col("a") && col("b") =!= col("m"))
+      .select(col("b").as("a"), col("m").as("b"))
+      .distinct()
+    // small-star: orient edges to (bigger, smaller); connect u and every
+    // smaller neighbor to m = min(N(u) ∪ {u}) = min(N(u))
+    val m2 = ls.groupBy("a").agg(min(col("b")).as("m"))
+    ls.join(m2, Seq("a"))
+      .select(col("b").as("v"), col("m"))
+      .union(m2.select(col("a").as("v"), col("m")))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .distinct()
+  }
+
+  /** Order-insensitive O(1) edge-set digest for the convergence probe
+    * (count + XOR of row hashes: overflow-free under ANSI, and edge sets
+    * are distinct rows so XOR cancellation needs a 64-bit hash collision).
+    */
+  private def checksum(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Keep one document per near-dup cluster: the cluster's MIN id survives,
+    * every other clustered id is dropped, singletons (no pair) survive
+    * untouched. `pairs` is any near-dup pair output (minhash / simhash /
+    * embedding / pHash). The drop set is only the clustered non-minima —
+    * tiny next to `df` — so the planner broadcasts the anti-join side.
+    */
+  def dedupCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
+      idA: String = "id1", idB: String = "id2"): DataFrame = {
+    val drop = connectedComponents(pairs, idA, idB)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -60,6 +60,14 @@ object DrivePlans {
     graft.frontier.SeenSet.filterNewStore(spark, queue, memProv, prov,
       emptyDelta, emptyDelta).explain("formatted")
 
+    // connected-components alternation: the per-round plan is two keyed
+    // min-aggregations + two equi-joins + two distincts over narrow
+    // (long, long) edges — no window, no cross join, nothing driver-side
+    println("######## connected-components alternation (Dedup.ccAlternate)")
+    val ccEdges = spark.range(1000).select(
+      xxhash64(col("id")).as("a"), xxhash64(col("id") + 1).as("b"))
+    graft.dedup.Dedup.ccAlternate(ccEdges).explain("formatted")
+
     // IVF assignment: no Exchange — per-row argmax over a centroid literal
     println("######## ivf assignment")
     val emb = spark.read.parquet(s"$d/embeddings.parquet")

@@ -135,4 +135,44 @@ class DedupSpec extends AnyFunSuite {
     val found = (0 until 20).count(i => pairs.contains((i.toLong, 1000L + i)))
     assert(found >= 18, s"recall $found/20 < 0.9 at cosine 0.9")
   }
+
+  test("connectedComponents: random graphs equal a union-find oracle; " +
+      "chain diameter >> alternation count") {
+    def unionFind(n: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(n.map(x => x -> x): _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      n.map(x => x -> find(x)).toMap
+    }
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { trial =>
+      val pairs = (0 until 120).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter { case (a, b) => a != b }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val got = Dedup.connectedComponents(pairs.toDF("id1", "id2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(nodes, pairs), s"trial $trial mismatch")
+    }
+    // a 200-node chain has diameter 199: min-label propagation would need
+    // ~200 rounds; large-star/small-star must finish inside the default 30
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponents(chain.toDF("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 200 && got.values.forall(_ == 0L))
+  }
+
+  test("dedupCanonical keeps cluster minima and singletons only") {
+    val docs = corpus // ids i<10 cluster with 1000+i; i<5 also with 2000+i
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text")
+    val kept = Dedup.dedupCanonical(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    // base docs all survive (each is its cluster's min or a singleton)
+    assert((0L until 60L).forall(kept.contains))
+    // planted near-dups of i<10 and exact dups of i<5 are dropped
+    (0 until 10).foreach(i => assert(!kept.contains(1000L + i), s"near-dup $i kept"))
+    (0 until 5).foreach(i => assert(!kept.contains(2000L + i), s"exact dup $i kept"))
+    assert(kept.size == 60)
+  }
 }
