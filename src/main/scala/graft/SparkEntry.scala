@@ -391,20 +391,25 @@ object SparkEntry {
         .toDF().select(col("media_id"), col("frame_idx"), col("ts_ms"),
           col("w"), col("h"))
     }),
-    "q_image_phash_dups" -> ((s, d) => { // rows-only: DCT is not SQL-replayable;
-      // pinned by MultimodalSpec (re-encode robustness + brute-force verify).
-      // Textured rasters: a pure gradient's DCT block is degenerate — see
+    "q_image_phash_dups" -> ((s, d) => { // FULLY oracled as of r5: the DCT
+      // itself is not SQL-replayable, but the planted-pair SET is
+      // deterministic and closed-form — 200 textured PNGs, the first 25
+      // re-encoded lossily (the same-image-behind-two-encoders case a crawl
+      // deduper must catch). The pipeline (real decode → pHash → banded
+      // join → Hamming verify) must return EXACTLY the 25 twins: the
+      // oracle goes red if banding recall drops below 1 on re-encode twins
+      // OR cross-image discrimination ever admits a false pair. Hamming
+      // magnitudes stay pinned in MultimodalSpec (≤ 6 for twins). Textured
+      // rasters: a pure gradient's DCT block is degenerate — see
       // ImageGen.texturedRaster.
       import s.implicits._
       val rows = s.range(0, 200, 1, 8).as[Long].mapPartitions(_.flatMap { i =>
         val img = graft.fixtures.ImageGen.texturedRaster(i)
         val base = Seq((f"img$i%04d", graft.fixtures.ImageGen.encode(img, "png")))
-        // planted near-dups: the first 25 images re-encoded lossily — the
-        // same-image-behind-two-encoders case a crawl deduper must catch
         if (i < 25) base :+ ((f"re$i%04d", graft.fixtures.ImageGen.encode(img, "jpeg")))
         else base
       }).toDF("image_id", "bytes")
-      graft.multimodal.Multimodal.phashNearDups(s, rows)
+      graft.multimodal.Multimodal.phashNearDups(s, rows).select("id1", "id2")
     }),
 
     "q_audio_features" -> ((s, d) => {
@@ -870,6 +875,10 @@ object SparkEntry {
            ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.id < b.id
          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
            len(list_distinct(list_concat(a.toks, b.toks))) >= 0.55""",
+    "q_image_phash_dups" ->
+      """SELECT 'img' || format('{:04d}', i) AS id1,
+           're' || format('{:04d}', i) AS id2
+         FROM range(0, 25) t(i)""",
     "q_dup_clusters" ->
       s"""WITH RECURSIVE $minhashClusterCte
          SELECT node AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY node""",
