@@ -412,6 +412,39 @@ object SparkEntry {
       graft.multimodal.Multimodal.phashNearDups(s, rows).select("id1", "id2")
     }),
 
+    "q_cross_modal" -> ((s, d) => { // FULLY oracled: planted conflicts are
+      // closed-form from the ids (the q_image_phash_dups move). Base = 200
+      // generated image+caption rows (captions unique by construction, so
+      // every natural visual pair with differing captions would surface —
+      // there are none at Hamming ≤ 6 on this fixture, pinned by the
+      // oracle). Planted: ids 0–9 get a visual twin under a DRIFTED caption
+      // ("drf…"); ids 20–29 get a row reusing their caption over a visually
+      // DISTANT image (the bytes/phash of id+100, "spm…") — which also
+      // makes (img(id+100), spm(id)) a drifted visual twin, and the oracle
+      // enumerates all three families.
+      // DCT pHash over TEXTURED rasters — the discriminative combination
+      // (the stored 8×8 average hash over the generator's smooth rasters
+      // has thousands of natural ≤-6 collisions; a spectral hash over
+      // broadband textures has none, q_image_phash_dups' evidence)
+      import s.implicits._
+      def ph(i: Long) = graft.multimodal.Multimodal.phash64(
+        graft.fixtures.ImageGen.texturedRaster(i))
+      val base = s.range(0, 200, 1, 8).as[Long].map { i =>
+        (f"img$i%010d", ph(i), graft.fixtures.ImageGen.captionOf(i))
+      }.toDF("image_id", "phash", "caption")
+      val drift = s.range(0, 10).as[Long].map { i =>
+        (f"drf$i%010d", ph(i), graft.fixtures.ImageGen.captionOf(i) + " [alt]")
+      }.toDF("image_id", "phash", "caption")
+      val spam = s.range(20, 30).as[Long].map { i =>
+        (f"spm$i%010d", ph(i + 100), graft.fixtures.ImageGen.captionOf(i))
+      }.toDF("image_id", "phash", "caption")
+      // spamHamming = 16: the planted far-pairs measure Hamming 20-30 and
+      // the fixture's closest DISTINCT rasters sit at 8 (DriveXmodal), so
+      // 16 splits the two populations with margin on both sides
+      graft.multimodal.Multimodal.crossModalConflicts(
+        base.unionByName(drift).unionByName(spam), spamHamming = 16)
+    }),
+
     "q_audio_features" -> ((s, d) => {
       // REAL audio decode (JDK javax.sound.sampled, PCM WAV — no external
       // codec) over generated pure-sine clips, FULLY oracled: every clip
@@ -875,6 +908,15 @@ object SparkEntry {
            ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.id < b.id
          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
            len(list_distinct(list_concat(a.toks, b.toks))) >= 0.55""",
+    "q_cross_modal" ->
+      """SELECT 'caption_drift' AS kind, 'drf' || format('{:010d}', i) AS id1,
+           'img' || format('{:010d}', i) AS id2 FROM range(0, 10) t(i)
+         UNION ALL
+         SELECT 'caption_drift', 'img' || format('{:010d}', i + 100),
+           'spm' || format('{:010d}', i) FROM range(20, 30) t(i)
+         UNION ALL
+         SELECT 'caption_spam', 'img' || format('{:010d}', i),
+           'spm' || format('{:010d}', i) FROM range(20, 30) t(i)""",
     "q_image_phash_dups" ->
       """SELECT 'img' || format('{:04d}', i) AS id1,
            're' || format('{:04d}', i) AS id2

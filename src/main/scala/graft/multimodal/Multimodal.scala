@@ -184,6 +184,48 @@ object Multimodal {
         .select(col("image_id").as("id"), col("phash").as("sim")),
       maxHamming, maxBucket)
 
+  /** Cross-modal consistency audit over an image+caption table (the
+    * input_hint shape). Uses the STORED phash column — pure columnar, no
+    * decode in the plan. Two conflict kinds a caption-supervised training
+    * pipeline has to clean:
+    *
+    *  - `caption_drift`: visually-duplicate pairs (pHash Hamming ≤
+    *    `maxHamming`, found via the same capped banded equi-join as every
+    *    near-dup operator here) whose captions DIFFER — the same picture
+    *    crawled behind two captions; keep one, or the pair teaches the
+    *    model two labels for one image.
+    *  - `caption_spam`: identical captions on visually-DISTINCT images
+    *    (Hamming > `spamHamming`) — boilerplate/SEO captions; pairs come
+    *    from an exact caption equi-join (groups > `maxBucket` dropped, the
+    *    same observable-cap discipline as the LSH buckets — a megasite's
+    *    "product photo" caption cannot go O(group²)).
+    *
+    * Returns (kind, id1, id2), id1 < id2.
+    */
+  def crossModalConflicts(images: DataFrame, maxHamming: Int = 6,
+      spamHamming: Int = 20, maxBucket: Long = 1000L): DataFrame = {
+    val h = images.select(col("image_id").as("id"), col("phash").as("sim"),
+      col("caption"))
+    val cap = h.select(col("id"), col("caption"))
+    val drift = graft.dedup.Dedup.bandedHammingPairs(
+        h.select("id", "sim"), maxHamming, maxBucket)
+      .join(cap.select(col("id").as("id1"), col("caption").as("c1")), Seq("id1"))
+      .join(cap.select(col("id").as("id2"), col("caption").as("c2")), Seq("id2"))
+      .filter(col("c1") =!= col("c2"))
+      .select(lit("caption_drift").as("kind"), col("id1"), col("id2"))
+    val smallGroups = h.groupBy("caption").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxBucket)
+      .select("caption")
+    val grouped = h.join(smallGroups, Seq("caption"), "left_semi")
+    val spam = grouped.select(col("caption"), col("id").as("id1"), col("sim").as("s1"))
+      .join(grouped.select(col("caption"), col("id").as("id2"), col("sim").as("s2")),
+        Seq("caption"))
+      .filter(col("id1") < col("id2") &&
+        bit_count(col("s1").bitwiseXOR(col("s2"))) > spamHamming)
+      .select(lit("caption_spam").as("kind"), col("id1"), col("id2"))
+    drift.unionByName(spam)
+  }
+
   /** Diagnostic: the band buckets [[phashNearDups]] drops as oversize. */
   def phashOversizeBuckets(spark: SparkSession, images: DataFrame,
       maxBucket: Long = 1000L): DataFrame =

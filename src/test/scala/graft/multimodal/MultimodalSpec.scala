@@ -243,4 +243,40 @@ class MultimodalSpec extends AnyFunSuite {
       if (twin < minCross) assert(got(i) === ((i.toLong, twin)), s"query $i")
     }
   }
+
+  test("crossModalConflicts: drift + spam detected; caption mega-group capped observably") {
+    def row(id: String, ph: Long, cap: String) = (id, ph, cap)
+    // a: two visually-identical rows, captions differ -> caption_drift
+    // b: same caption on two far hashes -> caption_spam
+    // c: same caption AND same hash -> neither (a true duplicate row pair
+    //    is exact-dedup's job, not a cross-modal conflict)
+    val rows = Seq(
+      row("a1", 0x0F0F0F0F0F0F0F0FL, "cap one"),
+      row("a2", 0x0F0F0F0F0F0F0F0FL, "cap one ALT"),
+      row("b1", 0x0000000000000000L, "same caption"),
+      row("b2", -1L, "same caption"),
+      row("c1", 0x123456789ABCDEF0L, "dup"), row("c2", 0x123456789ABCDEF0L, "dup"))
+      .toDF("image_id", "phash", "caption")
+    val got = Multimodal.crossModalConflicts(rows)
+      .as[(String, String, String)].collect().toSet
+    assert(got === Set(("caption_drift", "a1", "a2"), ("caption_spam", "b1", "b2")))
+
+    // megasite boilerplate caption: 5 mutually-far hashes (pairwise
+    // Hamming ≥ 26, and ≥ 8 from every other fixture hash) behind one
+    // caption. Uncapped they emit all C(5,2)=10 spam pairs; a group of 5
+    // > maxBucket=3 is dropped whole (observable cap), smaller groups
+    // still audited.
+    val farHashes = Seq(0x00000000FFFFFFFFL, 0xFFFFFFFF00000000L,
+      0x5555555555555555L, 0xAAAAAAAAAAAAAAAAL, 0x3333333333333333L)
+    val mega = farHashes.zipWithIndex.map { case (h, i) =>
+      row(s"m$i", h, "product photo")
+    }
+    val withMega = rows.unionByName(mega.toDF("image_id", "phash", "caption"))
+    val uncapped = Multimodal.crossModalConflicts(withMega)
+      .as[(String, String, String)].collect().toSet
+    assert(uncapped.count(_._1 == "caption_spam") === 11, s"got $uncapped")
+    val capped = Multimodal.crossModalConflicts(withMega, maxBucket = 3)
+      .as[(String, String, String)].collect().toSet
+    assert(capped === Set(("caption_drift", "a1", "a2"), ("caption_spam", "b1", "b2")))
+  }
 }
