@@ -315,7 +315,10 @@ object Dedup {
     * shrinks toward star graphs); nothing driver-side except the O(1)
     * convergence probe, and lineage is cut per alternation.
     *
-    * Input: two long id columns (pair endpoints); self-pairs ignored.
+    * Input: two LONG id columns (pair endpoints) — keeping the iterated
+    * shuffle rows at 16 bytes is the point, so string ids (image ids,
+    * URLs) should be hashed (`xxhash64`) or dictionary-indexed first and
+    * mapped back after. Self-pairs ignored.
     * Output: (`idOut`, `componentOut`) for every node that appears in at
     * least one pair — component = MIN node id in the component (stable,
     * deterministic). Singletons never enter the pair list, so callers keep

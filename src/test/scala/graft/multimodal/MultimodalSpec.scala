@@ -2,7 +2,7 @@ package graft.multimodal
 
 import graft.SparkTestBase
 import graft.fixtures.ImageGen
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, xxhash64}
 import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
@@ -242,6 +242,31 @@ class MultimodalSpec extends AnyFunSuite {
         .map(j => java.lang.Long.bitCount(pngs(j)._2 ^ jpegs(i)._2)).min
       if (twin < minCross) assert(got(i) === ((i.toLong, twin)), s"query $i")
     }
+  }
+
+  test("image near-dup clusters: hash string ids, run connectedComponents, map back") {
+    // the composition a real pipeline runs: pHash pairs → hash the string
+    // image ids to longs (the cluster step iterates 16-byte edges) → one
+    // cluster per underlying picture regardless of encoder
+    val rows = (0 until 12).flatMap { i =>
+      val img = ImageGen.texturedRaster(i)
+      Seq((s"png$i", ImageGen.encode(img, "png")),
+        (s"jpg$i", ImageGen.encode(img, "jpeg")))
+    }.toDF("image_id", "bytes")
+    val ids = rows.select(col("image_id"), xxhash64(col("image_id")).as("nid"))
+    val pairs = Multimodal.phashNearDups(spark, rows)
+      .join(ids.select(col("image_id").as("id1"), col("nid").as("n1")), Seq("id1"))
+      .join(ids.select(col("image_id").as("id2"), col("nid").as("n2")), Seq("id2"))
+      .select(col("n1").as("id1"), col("n2").as("id2"))
+    val comp = graft.dedup.Dedup.connectedComponents(pairs)
+      .join(ids, col("id") === col("nid"))
+      .select(col("image_id"), col("component"))
+      .as[(String, Long)].collect().toMap
+    (0 until 12).foreach { i =>
+      assert(comp.get(s"png$i") === comp.get(s"jpg$i"), s"twin $i split")
+      assert(comp.contains(s"png$i"), s"twin $i missing from clusters")
+    }
+    assert(comp.values.toSet.size === 12, "distinct pictures merged")
   }
 
   test("crossModalConflicts: drift + spam detected; caption mega-group capped observably") {
