@@ -338,8 +338,13 @@ object Dedup {
     var done = prev._1 == 0L
     var i = 0
     while (!done && i < maxAlternations) {
+      val t0 = System.nanoTime()
       val ss = ccAlternate(e).localCheckpoint(true)
       val cur = checksum(ss)
+      // opt-in observability (same env contract as CrawlJob's fold timing):
+      // per-alternation edge count + wall time, inert when unset
+      if (sys.env.contains("GRAFT_TIMING"))
+        println(f"TIMING cc:alt$i edges=${cur._1} ${(System.nanoTime() - t0) / 1e9}%.2f s")
       done = cur == prev
       prev = cur
       e = ss
