@@ -908,6 +908,57 @@ object SparkEntry {
            ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.id < b.id
          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
            len(list_distinct(list_concat(a.toks, b.toks))) >= 0.55""",
+    "q_crawl_emits" ->
+      // GOLDEN oracle (the block-18721004 move applied to the crawl):
+      // the 3-round crawl of the seeded fixture is fully deterministic
+      // and independently reproduced by RefWalker (CrawlParitySpec
+      // pins engine ≡ oracle walker byte-exact), so the emit log is a
+      // pinned constant — any change to scheduling, politeness,
+      // ordering, or emission semantics turns this row red.
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'ACCEPTED', 'host00.test', CAST(9 AS BIGINT), CAST(1 AS BIGINT), CAST(-2899941742786033701 AS BIGINT), CAST(9 AS INTEGER)),
+           (CAST(1 AS BIGINT), 'ACCEPTED', 'host00.test', CAST(4 AS BIGINT), CAST(2 AS BIGINT), CAST(8600218678142164858 AS BIGINT), CAST(8 AS INTEGER)),
+           (CAST(1 AS BIGINT), 'ACCEPTED', 'host01.test', CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(1609814677844032198 AS BIGINT), CAST(8 AS INTEGER)),
+           (CAST(1 AS BIGINT), 'ACCEPTED', 'host01.test', CAST(5 AS BIGINT), CAST(2 AS BIGINT), CAST(-816804048352529702 AS BIGINT), CAST(8 AS INTEGER)),
+           (CAST(1 AS BIGINT), 'ACCEPTED', 'host01.test', CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(7769836650970808916 AS BIGINT), CAST(6 AS INTEGER)),
+           (CAST(1 AS BIGINT), 'ACCEPTED', 'host02.test', CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(-1754397614164880083 AS BIGINT), CAST(7 AS INTEGER)),
+           (CAST(1 AS BIGINT), 'ACCEPTED', 'host02.test', CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(-1354188716901785913 AS BIGINT), CAST(7 AS INTEGER)),
+           (CAST(1 AS BIGINT), 'ACCEPTED', 'host03.test', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(-3163094081374291801 AS BIGINT), CAST(9 AS INTEGER)),
+           (CAST(1 AS BIGINT), 'ACCEPTED', 'host04.test', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(8410095052402764201 AS BIGINT), CAST(1 AS INTEGER)),
+           (CAST(1 AS BIGINT), 'ACCEPTED', 'host06.test', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(-5500309839765495246 AS BIGINT), CAST(4 AS INTEGER)),
+           (CAST(1 AS BIGINT), 'ACCEPTED', 'host09.test', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(8818445230701557997 AS BIGINT), CAST(7 AS INTEGER)),
+           (CAST(1 AS BIGINT), 'ACCEPTED', 'host10.test', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(-9017335960357771033 AS BIGINT), CAST(7 AS INTEGER)),
+           (CAST(1 AS BIGINT), 'ACCEPTED', 'host11.test', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(376877283707896541 AS BIGINT), CAST(1 AS INTEGER)),
+           (CAST(2 AS BIGINT), 'ACCEPTED', 'host00.test', CAST(18 AS BIGINT), CAST(3 AS BIGINT), CAST(966378050272710729 AS BIGINT), CAST(9 AS INTEGER)),
+           (CAST(2 AS BIGINT), 'ACCEPTED', 'host00.test', CAST(6 AS BIGINT), CAST(4 AS BIGINT), CAST(1003877506927540288 AS BIGINT), CAST(8 AS INTEGER)),
+           (CAST(2 AS BIGINT), 'ACCEPTED', 'host01.test', CAST(2 AS BIGINT), CAST(4 AS BIGINT), CAST(7574412135291989495 AS BIGINT), CAST(5 AS INTEGER)),
+           (CAST(2 AS BIGINT), 'ACCEPTED', 'host01.test', CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(6089991727336690635 AS BIGINT), CAST(5 AS INTEGER)),
+           (CAST(2 AS BIGINT), 'ACCEPTED', 'host01.test', CAST(7 AS BIGINT), CAST(6 AS BIGINT), CAST(8836313785659005783 AS BIGINT), CAST(3 AS INTEGER)),
+           (CAST(2 AS BIGINT), 'ACCEPTED', 'host02.test', CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(7293527280273689632 AS BIGINT), CAST(2 AS INTEGER)),
+           (CAST(2 AS BIGINT), 'ACCEPTED', 'host03.test', CAST(4 AS BIGINT), CAST(2 AS BIGINT), CAST(7270428163726006933 AS BIGINT), CAST(3 AS INTEGER)),
+           (CAST(2 AS BIGINT), 'ACCEPTED', 'host03.test', CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(-1792534717987840468 AS BIGINT), CAST(2 AS INTEGER)),
+           (CAST(2 AS BIGINT), 'ACCEPTED', 'host04.test', CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(6721782586449326280 AS BIGINT), CAST(0 AS INTEGER)),
+           (CAST(2 AS BIGINT), 'ACCEPTED', 'host06.test', CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(-6704170283805382002 AS BIGINT), CAST(8 AS INTEGER)),
+           (CAST(2 AS BIGINT), 'ACCEPTED', 'host06.test', CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(1224293418687348870 AS BIGINT), CAST(0 AS INTEGER)),
+           (CAST(2 AS BIGINT), 'ACCEPTED', 'host10.test', CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(1678410331394783557 AS BIGINT), CAST(7 AS INTEGER)),
+           (CAST(2 AS BIGINT), 'ACCEPTED', 'host10.test', CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(4690155066594039834 AS BIGINT), CAST(4 AS INTEGER)),
+           (CAST(2 AS BIGINT), 'ACCEPTED', 'host10.test', CAST(2 AS BIGINT), CAST(4 AS BIGINT), CAST(-3899538845911735899 AS BIGINT), CAST(1 AS INTEGER)),
+           (CAST(3 AS BIGINT), 'ACCEPTED', 'host00.test', CAST(8 AS BIGINT), CAST(5 AS BIGINT), CAST(1850697500071325058 AS BIGINT), CAST(8 AS INTEGER)),
+           (CAST(3 AS BIGINT), 'ACCEPTED', 'host00.test', CAST(12 AS BIGINT), CAST(6 AS BIGINT), CAST(-3547161577726177352 AS BIGINT), CAST(8 AS INTEGER)),
+           (CAST(3 AS BIGINT), 'ACCEPTED', 'host01.test', CAST(12 AS BIGINT), CAST(7 AS BIGINT), CAST(1195823600785995227 AS BIGINT), CAST(7 AS INTEGER)),
+           (CAST(3 AS BIGINT), 'ACCEPTED', 'host01.test', CAST(13 AS BIGINT), CAST(8 AS BIGINT), CAST(2231913543519661107 AS BIGINT), CAST(7 AS INTEGER)),
+           (CAST(3 AS BIGINT), 'ACCEPTED', 'host01.test', CAST(9 AS BIGINT), CAST(9 AS BIGINT), CAST(-6588376529028163856 AS BIGINT), CAST(4 AS INTEGER)),
+           (CAST(3 AS BIGINT), 'ACCEPTED', 'host03.test', CAST(5 AS BIGINT), CAST(4 AS BIGINT), CAST(1840617809722104828 AS BIGINT), CAST(8 AS INTEGER)),
+           (CAST(3 AS BIGINT), 'ACCEPTED', 'host03.test', CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(-4004215605238188380 AS BIGINT), CAST(0 AS INTEGER)),
+           (CAST(3 AS BIGINT), 'ACCEPTED', 'host04.test', CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(5965723183212850179 AS BIGINT), CAST(9 AS INTEGER)),
+           (CAST(3 AS BIGINT), 'ACCEPTED', 'host04.test', CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(6820534703035821672 AS BIGINT), CAST(2 AS INTEGER)),
+           (CAST(3 AS BIGINT), 'ACCEPTED', 'host06.test', CAST(5 AS BIGINT), CAST(4 AS BIGINT), CAST(-1349171921139555343 AS BIGINT), CAST(7 AS INTEGER)),
+           (CAST(3 AS BIGINT), 'ACCEPTED', 'host06.test', CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(-9162267565954444995 AS BIGINT), CAST(5 AS INTEGER)),
+           (CAST(3 AS BIGINT), 'ACCEPTED', 'host06.test', CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(-989880175555110436 AS BIGINT), CAST(4 AS INTEGER)),
+           (CAST(3 AS BIGINT), 'ACCEPTED', 'host09.test', CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(4199555378288747616 AS BIGINT), CAST(6 AS INTEGER)),
+           (CAST(3 AS BIGINT), 'ACCEPTED', 'host10.test', CAST(5 AS BIGINT), CAST(5 AS BIGINT), CAST(-4432130876277056681 AS BIGINT), CAST(9 AS INTEGER)),
+           (CAST(3 AS BIGINT), 'ACCEPTED', 'host10.test', CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(-1971763496782732917 AS BIGINT), CAST(3 AS INTEGER)))
+         t(round, status, host, seq, ord, url_hash, priority)""",
     "q_cross_modal" ->
       """SELECT 'caption_drift' AS kind, 'drf' || format('{:010d}', i) AS id1,
            'img' || format('{:010d}', i) AS id2 FROM range(0, 10) t(i)
