@@ -3,8 +3,9 @@ package graft
 import graft.dedup.Dedup
 import graft.functions.GraftExpressions._
 import graft.functions.SimHash
+import graft.sample.Sampling
 import graft.search.SimilaritySearch
-import graft.text.TextAnalysis
+import graft.text.{Pii, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -336,6 +337,34 @@ object SparkEntry {
       SimilaritySearch.searchIvf(idx, q, 10, nprobe = 16)
     }),
 
+    // ---- training-data ops: sampling / mixing -----------------------------
+    "q_sample_stratified" -> ((s, d) => // membership itself is oracled: the
+      // mix64 sampling hash replays in SQL, so DuckDB recomputes which ROWS
+      // survive, not just how many
+      Sampling.stratifiedSample(t(s, d, "documents"), "lang", "doc_id",
+          rates = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25),
+          defaultRate = 1.0, salt = 77L)
+        .select(col("doc_id"), col("lang"))),
+    "q_sample_topk" -> ((s, d) => // deterministic uniform k-per-stratum
+      Sampling.uniformPerStratum(t(s, d, "documents"), "lang", "doc_id",
+          k = 20, salt = 91L)
+        .select(col("lang"), col("doc_id"), col("rk"))),
+    "q_domain_mix" -> ((s, d) => // sqrt-temperature mixture weights per lang
+      Sampling.temperatureWeights(t(s, d, "documents"), "lang")),
+
+    // ---- training-data ops: PII scrub -------------------------------------
+    "q_pii_scrub" -> ((s, d) => { // counts AND redacted text verified (md5):
+      // deterministic PII spans are appended from the doc_id so the fixture
+      // has known emails/IPs/phones; the Java∩RE2 pattern subset makes the
+      // exact matches replayable in DuckDB
+      val withPii = piiFixtureText(t(s, d, "documents"))
+      withPii.select(col("doc_id"),
+        Pii.emailCount(col("t2")).as("n_emails"),
+        Pii.ipv4Count(col("t2")).as("n_ipv4"),
+        Pii.phoneCount(col("t2")).as("n_phones"),
+        md5(Pii.redact(col("t2"))).as("redacted_md5"))
+    }),
+
     // ---- training-data ops: text analysis --------------------------------
     "q_text_stats" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -351,6 +380,11 @@ object SparkEntry {
       // rolling winnowing (B/M < 2^31 keep it in plain BIGINT arithmetic)
       t(s, d, "documents").select(col("doc_id"),
         size(TextAnalysis.fingerprint(col("text"))).as("n_fingerprints"))),
+    "q_fingerprint_dups" -> ((s, d) => // copied-span near-dups: shared
+      // winnow fingerprints — index, bucket cap, AND pair counts all replay
+      // in the same BIGINT arithmetic as q_fingerprint's oracle
+      Dedup.fingerprintNearDups(t(s, d, "documents"), "doc_id", "text",
+        minShared = FingerprintMinShared)),
 
     // ---- multimodal plumbing --------------------------------------------
     "q_image_meta" -> ((s, d) => {
@@ -511,6 +545,31 @@ object SparkEntry {
     */
   val AnnIvfRecallFloor = 0.5
 
+  /** Shared-fingerprint floor for q_fingerprint_dups: low enough that the
+    * corpus's near-dup pairs (the minhash twins) surface, high enough that
+    * a single coincidentally-shared 8-gram doesn't pair two documents.
+    */
+  val FingerprintMinShared = 5
+
+  /** The q_pii_scrub fixture: documents text with deterministic PII spans
+    * appended from the doc_id (ids ≡ 0 mod 3 get an email, mod 4 an IPv4,
+    * mod 5 a phone — so some rows carry several, most carry none). Both
+    * sides of the oracle rebuild this same string, so the match verifies
+    * detection + redaction, not the fixture.
+    */
+  private def piiFixtureText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact u"), col("doc_id").cast("string"), lit("@ex"),
+          (col("doc_id") % 10).cast("string"), lit(".org"))).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 200).cast("string"), lit("."),
+          (col("doc_id") % 7).cast("string"), lit(".25"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call +1 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+      .as("t2"))
+
   // ---- SQL builders for the hash-replay oracles --------------------------
   // DuckDB's HUGEINT is signed int128, so a 64×64-bit product overflows it;
   // multiply-mod-2^64 is built from 32-bit limbs instead. Each builder is
@@ -538,6 +597,14 @@ object SparkEntry {
       s"THEN ($e)::HUGEINT - 18446744073709551616::HUGEINT " +
       s"ELSE ($e)::HUGEINT END) % $m) + $m) % $m)::BIGINT"
 
+  /** The unsigned-carried 64-bit value reinterpreted as the JVM's signed
+    * long — for oracles that must ORDER by the hash the way Spark does.
+    */
+  private def toSigned(e: String): String =
+    s"((CASE WHEN ($e) >= 9223372036854775808::UBIGINT " +
+      s"THEN ($e)::HUGEINT - 18446744073709551616::HUGEINT " +
+      s"ELSE ($e)::HUGEINT END)::BIGINT)"
+
   /** CTE prefix replaying [[graft.functions.GraftHash.mix64]] (splitmix64
     * finalizer) for ids 0..n-1: emits table `mx` with column `i` plus, for
     * each (salt, name), `name` = mix64(mix64(i) XOR salt) — the seed scheme
@@ -545,7 +612,14 @@ object SparkEntry {
     * its closed-form parameters from. One CTE per mix stage keeps the
     * u64mul limb expansion linear in statement size.
     */
-  private def mix64ChainSql(n: Int, outs: Seq[(Long, String)]): String = {
+  private def mix64ChainSql(n: Int, outs: Seq[(Long, String)]): String =
+    mix64ChainSqlOver(s"SELECT i::UBIGINT AS i FROM range($n) t(i)", outs)
+
+  /** [[mix64ChainSql]] over an arbitrary id source (`idsSelect` must yield a
+    * single UBIGINT column `i`) — lets table-driven operators (the sampling
+    * family hashes `doc_id`) reuse the same limb-exact replay.
+    */
+  private def mix64ChainSqlOver(idsSelect: String, outs: Seq[(Long, String)]): String = {
     val G = "11400714819323198485::UBIGINT"  // 0x9e3779b97f4a7c15
     val C1 = "13787848793156543929::UBIGINT" // 0xbf58476d1ce4e5b9
     val C2 = "10723151780598845931::UBIGINT" // 0x94d049bb133111eb
@@ -556,7 +630,7 @@ object SparkEntry {
     def cols(f: String => String, names: Seq[String]) =
       names.map(c => s"${f(c)} AS $c").mkString(", ")
     val names = outs.map(_._2)
-    s"""ids AS (SELECT i::UBIGINT AS i FROM range($n) t(i)),
+    s"""ids AS ($idsSelect),
       a1 AS (SELECT i, ${s1("i")} AS z FROM ids),
       a2 AS (SELECT i, ${s2("z")} AS z FROM a1),
       a3 AS (SELECT i, ${s3("z")} AS z FROM a2),
@@ -616,12 +690,14 @@ object SparkEntry {
       WHERE bit_count(xor(s1, s2)) <= 6"""
   }
 
-  /** The q_fingerprint oracle: polynomial k-gram hashes + window minima +
-    * distinct count, bit-exact with [[graft.functions.Winnow]] (k=8, w=4).
+  /** Shared winnowing CTE prefix (cs → gs → ms): per-document polynomial
+    * k-gram hashes + sliding-window minima lists, bit-exact with
+    * [[graft.functions.Winnow]] (k=8, w=4) — B/M < 2^31 keep every product
+    * inside plain BIGINT arithmetic.
     */
-  private def fingerprintOracleSql: String = {
+  private def winnowCte: String = {
     val (b, m, k, w) = (graft.functions.Winnow.B, graft.functions.Winnow.M, 8, 4)
-    s"""WITH cs AS (
+    s"""cs AS (
         SELECT doc_id, list_transform(range(1, length(text)+1),
           i -> unicode(text[i:i])::BIGINT) AS c
         FROM documents),
@@ -637,9 +713,26 @@ object SparkEntry {
         SELECT doc_id, CASE WHEN len(g) <= $w THEN [list_min(g)]
           ELSE list_transform(range(1, len(g) - $w + 2), i -> list_min(g[i:i+${w - 1}]))
           END AS m
-        FROM gs)
-      SELECT doc_id, len(list_distinct(m)) AS n_fingerprints FROM ms"""
+        FROM gs)"""
   }
+
+  /** The q_fingerprint oracle: winnow minima → distinct count. */
+  private def fingerprintOracleSql: String =
+    s"""WITH $winnowCte
+      SELECT doc_id, len(list_distinct(m)) AS n_fingerprints FROM ms"""
+
+  /** The q_fingerprint_dups oracle: the same winnow replay, then the full
+    * operator — inverted index, ≤-maxBucket cap (identical HAVING), pair
+    * shared-print counts ≥ [[FingerprintMinShared]].
+    */
+  private def fingerprintDupsOracleSql: String =
+    s"""WITH $winnowCte,
+      fps AS (SELECT doc_id, unnest(list_distinct(m)) AS fp FROM ms),
+      small AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000),
+      pf AS (SELECT f.doc_id, f.fp FROM fps f JOIN small USING (fp))
+      SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n_shared
+      FROM pf x JOIN pf y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= $FingerprintMinShared"""
 
   /** Shared CTE chain for the cluster oracles: the exact word-3-shingle
     * Jaccard pair set (the same twin `q_minhash_neardups` is checked
@@ -724,7 +817,59 @@ object SparkEntry {
       FROM r WHERE rk <= 5"""
   }
 
+  /** q_sample_stratified oracle: replay the salted mix64 over doc_id and the
+    * same per-lang thresholds — verifying sample MEMBERSHIP row-for-row.
+    */
+  private def sampleStratifiedOracleSql: String =
+    s"""WITH ${mix64ChainSqlOver("SELECT doc_id::UBIGINT AS i FROM documents", Seq(77L -> "hv"))},
+      sel AS (SELECT i::BIGINT AS doc_id, ${sMod("hv", 10000)} AS b FROM mx)
+      SELECT d.doc_id, d.lang FROM documents d JOIN sel USING (doc_id)
+      WHERE b < CASE WHEN d.lang = 'en' THEN 5000
+        WHEN d.lang IN ('de', 'fr', 'es') THEN 2500 ELSE 10000 END"""
+
+  /** q_sample_topk oracle: rank by the SIGNED mix64 (Spark's sort order)
+    * then doc_id within each lang, keep the first 20.
+    */
+  private def sampleTopkOracleSql: String =
+    s"""WITH ${mix64ChainSqlOver("SELECT doc_id::UBIGINT AS i FROM documents", Seq(91L -> "hv"))},
+      h AS (SELECT i::BIGINT AS doc_id, ${toSigned("hv")} AS hs FROM mx),
+      r AS (SELECT d.lang, d.doc_id,
+          row_number() OVER (PARTITION BY d.lang ORDER BY h.hs, d.doc_id) AS rk
+        FROM documents d JOIN h USING (doc_id))
+      SELECT lang, doc_id, rk FROM r WHERE rk <= 20"""
+
+  /** q_pii_scrub oracle: rebuild the same PII fixture from doc_id, then run
+    * the IDENTICAL pattern strings (interpolated from [[graft.text.Pii]] —
+    * one source of truth) through RE2 counts and chained redaction; the
+    * redacted text is compared by md5, not just counted.
+    */
+  private def piiScrubOracleSql: String =
+    s"""WITH p AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@ex' || (doc_id % 10) || '.org' ELSE '' END ||
+          CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || (doc_id % 200) || '.' || (doc_id % 7) || '.25' ELSE '' END ||
+          CASE WHEN doc_id % 5 = 0 THEN ' call +1 555-' || format('{:04d}', doc_id % 10000) ELSE '' END AS t2
+        FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(t2, '${Pii.EmailPattern}')) AS n_emails,
+        len(regexp_extract_all(t2, '${Pii.Ipv4Pattern}')) AS n_ipv4,
+        len(regexp_extract_all(t2, '${Pii.PhonePattern}')) AS n_phones,
+        md5(regexp_replace(regexp_replace(regexp_replace(t2,
+          '${Pii.EmailPattern}', '<EMAIL>', 'g'),
+          '${Pii.Ipv4Pattern}', '<IP>', 'g'),
+          '${Pii.PhonePattern}', '<PHONE>', 'g')) AS redacted_md5
+      FROM p"""
+
   def oracleSql: Map[String, String] = Map(
+    "q_sample_stratified" -> sampleStratifiedOracleSql,
+    "q_sample_topk" -> sampleTopkOracleSql,
+    "q_domain_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+         SELECT lang, n,
+           round(sqrt(n) / (SELECT sum(sqrt(n)) FROM c), 6) AS weight
+         FROM c""",
+    "q_pii_scrub" -> piiScrubOracleSql,
+    "q_fingerprint_dups" -> fingerprintDupsOracleSql,
     "q_phash_knn" -> phashKnnOracleSql,
     "q_cuckoo_filter_new" ->
       """SELECT DISTINCT l_orderkey AS url_hash FROM lineitem

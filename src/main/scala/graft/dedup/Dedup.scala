@@ -218,6 +218,48 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Fingerprint-overlap near-dups: pairs of documents sharing at least
+    * `minShared` winnowed substring fingerprints — the MOSS clustering step
+    * over [[TextAnalysis.fingerprint]]. Where MinHash measures WHOLE-document
+    * set resemblance, shared winnow fingerprints localize COPIED SPANS
+    * (boilerplate blocks, quoted passages, template reuse — the dominant
+    * near-dup mode in crawl corpora), so this catches a long verbatim quote
+    * inside an otherwise-different page that Jaccard dilutes below threshold.
+    *
+    * Shape for scale: one explode builds the inverted index
+    * (fingerprint → ids); fingerprints held by more than `maxBucket`
+    * documents (site-wide boilerplate) are dropped by the same observable
+    * cap every banded join here uses ([[fingerprintOversizeBuckets]] is the
+    * diagnostic twin); the pair aggregation then costs Σ bucket² with every
+    * bucket bounded. The winnow hash replays in plain BIGINT SQL, so the
+    * full operator — index, cap, pair counts — is externally oracle-checkable.
+    */
+  def fingerprintNearDups(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 4, minShared: Int = 5,
+      maxBucket: Long = 1000L): DataFrame = {
+    val fp = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.fingerprint(col(textCol), k, window)).as("fp"))
+    val small = fp.groupBy("fp").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select("fp")
+    val pruned = fp.join(small, Seq("fp"), "left_semi")
+    pruned.select(col("fp"), col("id").as("id1"))
+      .join(pruned.select(col("fp"), col("id").as("id2")), Seq("fp"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Diagnostic twin of [[fingerprintNearDups]]: the fingerprints it drops
+    * as oversize (each one a piece of corpus-wide boilerplate).
+    */
+  def fingerprintOversizeBuckets(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 4, maxBucket: Long = 1000L): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextAnalysis.fingerprint(col(textCol), k, window)).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+
   /** Embedding near-dups: MULTI-BAND sign-LSH. Each of `bands` independent
     * bands hashes the vector's signs against its own `planesPerBand` random
     * hyperplanes; a pair agreeing on ANY band becomes a candidate (the

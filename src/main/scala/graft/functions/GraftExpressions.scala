@@ -78,6 +78,24 @@ object GraftExpressions {
     override def prettyName: String = "url_host"
   }
 
+  /** Salted splitmix64 over a long column — [[GraftHash.mix64(a:Long,b:Long)*]]
+    * as one codegen call. This is the engine's SQL-REPLAYABLE hash (the
+    * mix64 CTE chain in SparkEntry replays it limb-exactly in DuckDB), which
+    * is why the deterministic sampling operators key on it rather than
+    * xxhash64: a sample defined by this hash can be verified by an external
+    * engine row-for-row.
+    */
+  case class Mix64Salted(child: Expression, salt: Long) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(v: Any): Any =
+      GraftHash.mix64(v.asInstanceOf[Long], salt)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.mix64($c, ${salt}L)")
+    override protected def withNewChildInternal(c: Expression): Mix64Salted = copy(child = c)
+    override def prettyName: String = "mix64_salted"
+  }
+
   /** canonical URL → path. */
   case class UrlPath(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
@@ -101,6 +119,7 @@ object GraftExpressions {
   def canonicalize_url(c: Column): Column = col(CanonicalizeUrl(expr(c)))
   def url_host(c: Column): Column = col(UrlHost(expr(c)))
   def url_path(c: Column): Column = col(UrlPath(expr(c)))
+  def mix64_salted(c: Column, salt: Long): Column = col(Mix64Salted(expr(c), salt))
 
   /** Register all graft scalar functions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
