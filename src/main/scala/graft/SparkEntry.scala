@@ -380,6 +380,20 @@ object SparkEntry {
       // rolling winnowing (B/M < 2^31 keep it in plain BIGINT arithmetic)
       t(s, d, "documents").select(col("doc_id"),
         size(TextAnalysis.fingerprint(col("text"))).as("n_fingerprints"))),
+    "q_repetition" -> ((s, d) => { // Gopher-style within-doc repetition
+      // metrics; the corpus text has no newlines, so the fixture lineifies
+      // it deterministically (6-token chunks) and plants duplicate lines
+      // for ids ≡ 0 (mod 4) — both sides rebuild the same lines, so the
+      // match verifies the METRICS (dup-line, dup-char, top-bigram)
+      val withLines = repetitionFixtureLines(t(s, d, "documents"))
+      val toksAll = split(array_join(col("lines"), " "), " ")
+      withLines.select(col("doc_id"),
+        size(col("lines")).as("n_lines"),
+        round(graft.text.Repetition.dupLineFrac(col("lines")), 6).as("dup_line_frac"),
+        round(graft.text.Repetition.dupCharFrac(col("lines")), 6).as("dup_char_frac"),
+        round(graft.text.Repetition.topRunFrac(
+          graft.text.Repetition.wordBigrams(toksAll)), 6).as("top_bigram_frac"))
+    }),
     "q_fingerprint_dups" -> ((s, d) => // copied-span near-dups: shared
       // winnow fingerprints — index, bucket cap, AND pair counts all replay
       // in the same BIGINT arithmetic as q_fingerprint's oracle
@@ -424,6 +438,26 @@ object SparkEntry {
       graft.multimodal.Multimodal.frameSampleAvi(s, media, everyMs = 0, maxFrames = 100)
         .toDF().select(col("media_id"), col("frame_idx"), col("ts_ms"),
           col("w"), col("h"))
+    }),
+    "q_gif_frames" -> ((s, d) => {
+      // REAL animated-GIF decode (ImageIO's multi-frame reader — JDK only,
+      // the second no-codec-jar container after MJPEG-AVI), fully oracled:
+      // per-frame delays, cumulative timestamps, the time-bucket frame
+      // SELECTION rule, and decoded dims are all closed-form in the clip id
+      val media = graft.fixtures.GifGen.generate(s, 50)
+      graft.multimodal.Multimodal.frameSampleGif(s, media,
+          everyMs = GifSampleEveryMs, maxFrames = GifSampleMaxFrames)
+        .toDF().select(col("media_id"), col("frame_idx"), col("ts_ms"),
+          col("w"), col("h"))
+    }),
+    "q_decontaminate" -> ((s, d) => { // eval-set contamination check: the
+      // "benchmark" is every 37th document's full text, so its source doc
+      // (and any near-dup twin) must be flagged; the oracle joins on the
+      // gram STRINGS while the engine joins on their hashes
+      val docs = t(s, d, "documents")
+      val evalSet = docs.filter(col("doc_id") % 37 === 0).select(col("text"))
+      graft.text.Decontaminate.overlap(docs, "doc_id", "text",
+        evalSet, "text", n = DecontamN, minHits = DecontamMinHits)
     }),
     "q_image_phash_dups" -> ((s, d) => { // FULLY oracled as of r5: the DCT
       // itself is not SQL-replayable, but the planted-pair SET is
@@ -545,6 +579,19 @@ object SparkEntry {
     */
   val AnnIvfRecallFloor = 0.5
 
+  /** q_gif_frames sampling window: 100 ms buckets over per-frame delays of
+    * 30–100 ms means some consecutive frames share a bucket (dropped) and
+    * some don't (kept) — the rule does real work on the fixture.
+    */
+  val GifSampleEveryMs = 100L
+  val GifSampleMaxFrames = 4
+
+  /** q_decontaminate: 8-token grams, ≥ 3 distinct shared grams = flagged —
+    * one coincidental 8-gram never flags, any real excerpt does.
+    */
+  val DecontamN = 8
+  val DecontamMinHits = 3L
+
   /** Shared-fingerprint floor for q_fingerprint_dups: low enough that the
     * corpus's near-dup pairs (the minhash twins) surface, high enough that
     * a single coincidentally-shared 8-gram doesn't pair two documents.
@@ -569,6 +616,23 @@ object SparkEntry {
         concat(lit(" call +1 555-"),
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
       .as("t2"))
+
+  /** The q_repetition fixture: the document's whitespace tokens re-joined
+    * into 6-token "lines"; ids ≡ 0 (mod 4) get their FIRST line appended
+    * twice (planted duplicate lines — both count-dup and char-dup fractions
+    * become non-zero for exactly those ids). Emits (doc_id, lines).
+    */
+  private def repetitionFixtureLines(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val nch = floor((size(toks) + lit(5)) / lit(6.0)).cast("int")
+    val chunks = transform(sequence(lit(0), nch - 1),
+      j => array_join(slice(toks, j * 6 + lit(1), lit(6)), " "))
+    docs.select(col("doc_id"),
+      concat(chunks,
+        when(col("doc_id") % 4 === 0,
+          array(element_at(chunks, 1), element_at(chunks, 1)))
+          .otherwise(array().cast("array<string>"))).as("lines"))
+  }
 
   // ---- SQL builders for the hash-replay oracles --------------------------
   // DuckDB's HUGEINT is signed int128, so a 64×64-bit product overflows it;
@@ -797,6 +861,84 @@ object SparkEntry {
         CAST(fi * 1000 // fps AS BIGINT) AS ts_ms, w, h
       FROM f"""
 
+  /** q_gif_frames oracle: GifGen per-frame delays replayed from the id
+    * (salts 40..46), cumulative timestamps via list-prefix sums, and the
+    * SAME first-frame-per-bucket selection rule as a lag window — the
+    * oracle re-derives which frames were kept, not just their fields.
+    */
+  private def gifFramesOracleSql: String = {
+    val delayOuts = (0 until 7).map(f => (40L + f) -> s"d$f")
+    val delayList = (0 until 7).map(f => s"(3 + ${sMod(s"d$f", 8)})").mkString("[", ", ", "]")
+    s"""WITH ${mix64ChainSql(50, Seq(1L -> "wa", 2L -> "hb", 31L -> "nf") ++ delayOuts)},
+      params AS (SELECT i,
+        CAST(32 + ${sMod("wa", 4)} * 32 AS INTEGER) AS w,
+        CAST(32 + ${sMod("hb", 4)} * 32 AS INTEGER) AS h,
+        (3 + ${sMod("nf", 5)}) AS nfr, $delayList AS dl FROM mx),
+      f AS (SELECT i, w, h, dl, unnest(range(nfr)) AS fi FROM params),
+      t AS (SELECT i, w, h, fi,
+        10 * CASE WHEN fi = 0 THEN 0 ELSE list_sum(dl[1:fi]) END AS ts FROM f),
+      lg AS (SELECT i, w, h, fi, ts,
+        lag(ts) OVER (PARTITION BY i ORDER BY fi) AS pts FROM t),
+      k AS (SELECT i, w, h, fi, ts,
+          row_number() OVER (PARTITION BY i ORDER BY fi) AS rk
+        FROM lg WHERE fi = 0 OR ts // $GifSampleEveryMs > pts // $GifSampleEveryMs)
+      SELECT 'gif' || format('{:06d}', i::BIGINT) AS media_id,
+        CAST(fi AS INTEGER) AS frame_idx, CAST(ts AS BIGINT) AS ts_ms, w, h
+      FROM k WHERE rk <= $GifSampleMaxFrames"""
+  }
+
+  /** q_decontaminate oracle: the same lowercase/whitespace tokenization and
+    * n-gram windows, but joined on the gram STRINGS (the engine joins on
+    * xxhash64 of them — a collision that changed any count would mismatch).
+    */
+  private def decontaminateOracleSql: String = {
+    val n = DecontamN
+    s"""WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents),
+      dg AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - $n + 2),
+          j -> array_to_string(t[j:j+${n - 1}], ' '))) AS gram
+        FROM tok WHERE len(t) >= $n),
+      eg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 37 = 0)
+      SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+      FROM dg g JOIN eg USING (gram)
+      GROUP BY g.doc_id HAVING count(DISTINCT g.gram) >= $DecontamMinHits"""
+  }
+
+  /** q_repetition oracle: rebuild the same 6-token lineification + planted
+    * duplicates, then recompute all three metrics — the list-lambda forms
+    * for the line fractions, and the top-bigram count RELATIONALLY
+    * (unnest → group → max), deliberately a different algorithm than the
+    * engine's sort+run-length pass.
+    */
+  private def repetitionOracleSql: String =
+    s"""WITH tok AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+      ch AS (SELECT doc_id, list_transform(range(0, (len(t)+5)//6),
+          j -> array_to_string(t[j*6+1:j*6+6], ' ')) AS c FROM tok),
+      ln AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+          THEN list_concat(c, [c[1], c[1]]) ELSE c END AS lines FROM ch),
+      tt AS (SELECT doc_id, lines,
+          string_split(array_to_string(lines, ' '), ' ') AS tk FROM ln),
+      bg AS (SELECT doc_id, lines,
+          list_transform(range(1, len(tk)), j -> tk[j] || ' ' || tk[j+1]) AS g
+        FROM tt),
+      bgx AS (SELECT doc_id, unnest(g) AS gram FROM bg),
+      top AS (SELECT doc_id, max(cnt) AS topc FROM
+        (SELECT doc_id, gram, count(*) AS cnt FROM bgx GROUP BY 1, 2)
+        GROUP BY 1)
+      SELECT b.doc_id,
+        len(b.lines)::INTEGER AS n_lines,
+        round((len(b.lines) - len(list_distinct(b.lines)))::DOUBLE
+          / len(b.lines), 6) AS dup_line_frac,
+        round(list_sum(list_transform(b.lines, x -> CASE
+            WHEN len(list_filter(b.lines, y -> y = x)) > 1
+            THEN length(x) ELSE 0 END))::DOUBLE
+          / list_sum(list_transform(b.lines, x -> length(x))), 6)
+          AS dup_char_frac,
+        round(t.topc::DOUBLE / len(b.g), 6) AS top_bigram_frac
+      FROM bg b JOIN top t USING (doc_id)"""
+
   /** q_phash_knn oracle: replay mix64(i, 21) hashes, the 3-bit query flips,
     * all Hamming distances and the (dist, id) tie-broken top-5 in SQL.
     * `1 << p` must route through HUGEINT (DuckDB's UBIGINT shift
@@ -870,6 +1012,9 @@ object SparkEntry {
          FROM c""",
     "q_pii_scrub" -> piiScrubOracleSql,
     "q_fingerprint_dups" -> fingerprintDupsOracleSql,
+    "q_gif_frames" -> gifFramesOracleSql,
+    "q_decontaminate" -> decontaminateOracleSql,
+    "q_repetition" -> repetitionOracleSql,
     "q_phash_knn" -> phashKnnOracleSql,
     "q_cuckoo_filter_new" ->
       """SELECT DISTINCT l_orderkey AS url_hash FROM lineitem

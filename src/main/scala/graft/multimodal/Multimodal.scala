@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * calls amortized across the batch, nothing on the driver).
   *
   * Image decode / resize / feature-extract are REAL (JDK javax.imageio
-  * handles png+jpeg in this container). Audio/video decode have no codec
-  * library here, so [[frameSample]] is a clearly-marked deterministic STUB:
-  * the Spark-side plumbing (schema, batch shape, partitioning) is real and
-  * tested; the codec call is the single seam to swap in.
+  * handles png+jpeg in this container), as are WAV audio
+  * ([[audioFeatures]], javax.sound.sampled), MJPEG-AVI video
+  * ([[frameSampleAvi]], RIFF walk + per-frame ImageIO), and animated GIF
+  * ([[frameSampleGif]], ImageIO's multi-frame reader). Only containers the
+  * JDK cannot decode (mp4/webm/mkv — no codec jar ships here) go through
+  * the clearly-marked deterministic STUB [[frameSample]]: its Spark-side
+  * plumbing (schema, batch shape, partitioning) is real and tested; the
+  * codec call is the single seam to swap in.
   */
 object Multimodal {
 
@@ -355,6 +359,67 @@ object Multimodal {
           val img = ImageValidate.decode(frames(fi))
           VideoFrame(id, fi, fi * 1000L * scale / rate,
             img.getWidth, img.getHeight, frames(fi))
+        }
+      })
+  }
+
+  /** Parsed animated GIF: ordered (frame image, delay in centiseconds).
+    * ImageIO's native GIF plugin reads every frame plus its
+    * GraphicControlExtension delay; a frame with no GCE gets delay 0 (the
+    * GIF89a default). Refuses non-GIF bytes loudly.
+    */
+  private[multimodal] def parseGif(bytes: Array[Byte]): Vector[(BufferedImage, Int)] = {
+    require(bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F',
+      "not a GIF")
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (0 until n).map { f =>
+        val img = reader.read(f)
+        val meta = reader.getImageMetadata(f)
+        val root = meta.getAsTree(meta.getNativeMetadataFormatName)
+        var delay = 0
+        val kids = root.getChildNodes
+        var k = 0
+        while (k < kids.getLength) {
+          val node = kids.item(k)
+          if (node.getNodeName == "GraphicControlExtension")
+            delay = node.getAttributes.getNamedItem("delayTime").getNodeValue.toInt
+          k += 1
+        }
+        (img, delay)
+      }.toVector
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** REAL frame sampling for ANIMATED GIF — the second container the JDK
+    * decodes without any codec jar (after [[frameSampleAvi]]'s MJPEG-AVI).
+    * GIF timestamps are a running sum of PER-FRAME delays, not an index
+    * multiple, so the sampling rule is time-bucketed rather than
+    * stride-based: keep the FIRST frame of each `everyMs` bucket
+    * (frame f survives iff ⌊ts(f)/everyMs⌋ > ⌊ts(f−1)/everyMs⌋, frame 0
+    * always survives), up to `maxFrames` per clip. That rule is a window
+    * lag over the cumulative delay sum, so an external SQL oracle replays
+    * the SELECTION as well as the timestamps. everyMs ≤ 0 keeps every
+    * frame. Batch-wise `mapPartitions`, nothing on the driver.
+    */
+  def frameSampleGif(spark: SparkSession, media: DataFrame,
+      everyMs: Long, maxFrames: Int): Dataset[VideoFrame] = {
+    import spark.implicits._
+    media.select("media_id", "bytes").as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val frames = parseGif(bytes)
+        val ts = frames.scanLeft(0L) { case (acc, (_, d)) => acc + d * 10L }
+        val kept = (0 until frames.length).iterator.filter { f =>
+          everyMs <= 0 || f == 0 || ts(f) / everyMs > ts(f - 1) / everyMs
+        }.take(maxFrames)
+        kept.map { f =>
+          val img = frames(f)._1
+          VideoFrame(id, f, ts(f), img.getWidth, img.getHeight,
+            graft.fixtures.ImageGen.encode(img, "png"))
         }
       })
   }

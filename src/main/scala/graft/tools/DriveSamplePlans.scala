@@ -45,6 +45,22 @@ object DriveSamplePlans {
       "bucket-cap semi-join must prune candidates before the pair join")
     println("FPD_PLAN_OK cap semi-join present")
 
+    val rep = planOf("q_repetition")
+    println("######## q_repetition")
+    println(rep)
+    assert(!rep.contains("Exchange"),
+      "repetition metrics are per-row expressions — no shuffle")
+    println("REP_PLAN_OK no-exchange per-row metrics")
+
+    val dec = planOf("q_decontaminate")
+    println("######## q_decontaminate")
+    println(dec)
+    assert(dec.contains("BroadcastHashJoin") && dec.contains("LeftSemi"),
+      "eval grams must broadcast onto the corpus side (semi-join)")
+    assert(dec.contains("partial_count"),
+      "per-doc hit count must partial-aggregate map-side")
+    println("DEC_PLAN_OK broadcast semi-join + partial agg")
+
     spark.stop()
   }
 }
