@@ -228,6 +228,21 @@ object SparkEntry {
         url_host(u).as("host"), url_path(u).as("path"))
     }),
 
+    "q_url_blocklist" -> ((s, d) => { // domain blocklist: suffix-match via
+      // bounded explode + broadcast equi-join (never a LIKE scan); hosts
+      // are synthesized from doc_id at three label depths so the oracle
+      // replays the suffix semantics with plain string predicates
+      import s.implicits._
+      val urls = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("sub"), (col("doc_id") % 3).cast("string"),
+          lit(".host"), (col("doc_id") % 23).cast("string"),
+          lit(".example"), (col("doc_id") % 7).cast("string"),
+          lit(".com")).as("host"))
+      val blocklist = BlockedDomains.toDF("domain")
+      graft.frontier.UrlBlocklist.matches(urls, "host", blocklist, "domain")
+        .select(col("doc_id"), col("host"), col("matched_domain"))
+    }),
+
     // ---- training-data ops: dedup -----------------------------------------
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDupGroups(t(s, d, "documents"), "doc_id", "text")),
@@ -578,6 +593,13 @@ object SparkEntry {
     * deterministically; the floor leaves ≥ 0.2 margin everywhere).
     */
   val AnnIvfRecallFloor = 0.5
+
+  /** q_url_blocklist entries — deliberately non-overlapping (no host
+    * matches two), at three suffix depths: a whole registrable domain, one
+    * host under another domain, one fully-qualified host.
+    */
+  val BlockedDomains = Seq("example3.com", "host7.example2.com",
+    "sub1.host1.example1.com")
 
   /** q_gif_frames sampling window: 100 ms buckets over per-frame delays of
     * 30–100 ms means some consecutive frames share a bucket (dropped) and
@@ -1015,6 +1037,18 @@ object SparkEntry {
     "q_gif_frames" -> gifFramesOracleSql,
     "q_decontaminate" -> decontaminateOracleSql,
     "q_repetition" -> repetitionOracleSql,
+    "q_url_blocklist" ->
+      """WITH u AS (SELECT doc_id,
+           'sub' || (doc_id % 3) || '.host' || (doc_id % 23) ||
+           '.example' || (doc_id % 7) || '.com' AS host
+         FROM documents)
+         SELECT doc_id, host, CASE
+           WHEN doc_id % 7 = 3 THEN 'example3.com'
+           WHEN doc_id % 23 = 7 AND doc_id % 7 = 2 THEN 'host7.example2.com'
+           WHEN doc_id % 3 = 1 AND doc_id % 23 = 1 AND doc_id % 7 = 1
+             THEN 'sub1.host1.example1.com'
+           END AS matched_domain
+         FROM u WHERE matched_domain IS NOT NULL""",
     "q_phash_knn" -> phashKnnOracleSql,
     "q_cuckoo_filter_new" ->
       """SELECT DISTINCT l_orderkey AS url_hash FROM lineitem
