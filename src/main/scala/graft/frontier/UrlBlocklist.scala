@@ -18,9 +18,13 @@ object UrlBlocklist {
 
   /** All dot-suffixes of a host, most-specific first:
     * "news.example.co.uk" → [news.example.co.uk, example.co.uk, co.uk, uk].
+    * DNS names are case-insensitive, so suffixes are lowercased here and
+    * blocklist entries are lowercased at the join — `UrlCodec.canonicalize`
+    * already lowercases hosts, but this operator must also be safe on raw,
+    * un-canonicalized input.
     */
   def hostSuffixes(host: Column): Column = {
-    val parts = split(host, "\\.")
+    val parts = split(lower(host), "\\.")
     transform(sequence(lit(0), size(parts) - 1),
       i => array_join(slice(parts, i + lit(1), size(parts) - i), "."))
   }
@@ -34,7 +38,7 @@ object UrlBlocklist {
   def matches(urls: DataFrame, hostCol: String,
       blocklist: DataFrame, domainCol: String): DataFrame =
     urls.withColumn("matched_domain", explode(hostSuffixes(col(hostCol))))
-      .join(broadcast(blocklist.select(col(domainCol).as("matched_domain")).distinct()),
+      .join(broadcast(blocklist.select(lower(col(domainCol)).as("matched_domain")).distinct()),
         Seq("matched_domain"))
 
   /** The keep side: URLs whose host matches NO blocklist entry. Blocked-ness
@@ -47,7 +51,7 @@ object UrlBlocklist {
       blocklist: DataFrame, domainCol: String): DataFrame = {
     val blockedHosts = urls.select(col(hostCol)).distinct()
       .withColumn("__sfx", explode(hostSuffixes(col(hostCol))))
-      .join(broadcast(blocklist.select(col(domainCol).as("__sfx")).distinct()),
+      .join(broadcast(blocklist.select(lower(col(domainCol)).as("__sfx")).distinct()),
         Seq("__sfx"))
       .select(col(hostCol)).distinct()
     urls.join(blockedHosts, Seq(hostCol), "left_anti")

@@ -45,6 +45,15 @@ class UrlBlocklistSpec extends AnyFunSuite {
     assert(got === Seq("news.example.co.uk", "example.co.uk", "co.uk", "uk"))
   }
 
+  test("matching is case-insensitive on both sides (DNS semantics)") {
+    val shouting = Seq((1L, "WWW.Example.COM")).toDF("id", "host")
+    val mixedList = Seq("EXAMPLE.com").toDF("domain")
+    val got = UrlBlocklist.matches(shouting, "host", mixedList, "domain")
+      .select(col("id"), col("matched_domain")).as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "example.com")))
+    assert(UrlBlocklist.filterBlocked(shouting, "host", mixedList, "domain").count() === 0L)
+  }
+
   test("empty blocklist blocks nothing; matches and filter partition the input") {
     val none = UrlBlocklist.filterBlocked(urls, "host",
       spark.emptyDataset[String].toDF("domain"), "domain").count()
