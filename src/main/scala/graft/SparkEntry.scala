@@ -6,7 +6,7 @@ import graft.functions.SimHash
 import graft.sample.Sampling
 import graft.search.SimilaritySearch
 import graft.text.{Pii, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -414,6 +414,34 @@ object SparkEntry {
       // in the same BIGINT arithmetic as q_fingerprint's oracle
       Dedup.fingerprintNearDups(t(s, d, "documents"), "doc_id", "text",
         minShared = FingerprintMinShared)),
+    "q_lm_quality" -> ((s, d) => // corpus-trained add-k bigram LM: per-doc
+      // average negative log-likelihood — counts, smoothing, and the
+      // whitespace tokenization all replay exactly in DuckDB
+      graft.text.LmScore.bigramNll(t(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          round(col("avg_nll"), 6).as("avg_nll"))),
+    "q_tfidf" -> ((s, d) => // per-doc top-5 tf-idf terms: counts, smoothed
+      // idf, and the top-k cut (rank over the ROUNDED score, term
+      // tie-break) all replay relationally in DuckDB
+      graft.text.TfIdf.topTerms(t(s, d, "documents"), "doc_id", "text", k = 5)
+        .select(col("id").as("doc_id"), col("term"), col("tf"),
+          col("df_docs"), col("tfidf"), col("rank"))),
+    "q_sitemap" -> ((s, d) => // sitemap/sitemapindex extraction over XML
+      // synthesized closed-form from the doc_id (hosts reuse the blocklist
+      // fixture pattern; entity escapes and whitespace planted), so the
+      // oracle reconstructs every (kind, loc, lastmod) row without parsing
+      graft.frontier.Sitemap.parse(
+        sitemapFixtureXml(t(s, d, "documents")), "xml", Seq("doc_id"))),
+    "q_pagerank" -> ((s, d) => { // link-graph rank over a deterministic
+      // 3-outlinks-per-doc graph (plain integer arithmetic, so the oracle
+      // rebuilds the same edges and unrolls the same 5 power iterations
+      // in SQL); fixed iterations keep the result exactly replayable
+      val docs = t(s, d, "documents")
+      graft.frontier.PageRank.pagerank(
+          docs.select(col("doc_id")), docLinkEdges(docs),
+          iterations = 5, damping = 0.85)
+        .select(col("id").as("doc_id"), round(col("rank"), 8).as("rank"))
+    }),
 
     // ---- multimodal plumbing --------------------------------------------
     "q_image_meta" -> ((s, d) => {
@@ -656,6 +684,54 @@ object SparkEntry {
           .otherwise(array().cast("array<string>"))).as("lines"))
   }
 
+  /** The q_pagerank link graph: every document emits exactly 3 out-links,
+    * dst_j = (doc_id·1103515245 + j·12345) mod N for j ∈ {1,2,3} — plain
+    * 64-bit integer arithmetic (doc_id ≤ ~10^6 at every test SF, so the
+    * product stays far under Long.MaxValue), replayed verbatim by the
+    * oracle. Self-loops and parallel edges are legal multiset edges; with
+    * exactly 3 out-edges per node there are no danglers, so PageRank's
+    * dangling-mass branch stays off in this query (its on-branch is pinned
+    * by PageRankSpec instead).
+    */
+  private def docLinkEdges(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .select(col("doc_id").as("src"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("n_docs"))
+      .select(col("src"),
+        ((col("src") * 1103515245L + col("j") * 12345L) % col("n_docs")).as("dst"))
+
+  /** The q_sitemap fixture: every 10th document carries a sitemapindex of
+    * two child sitemaps; the rest carry a urlset of 1–3 page entries
+    * (hosts = the blocklist fixture pattern). Planted parser work: `<loc>`
+    * values arrive space-padded with an `&amp;` entity, and lastmod exists
+    * only for even entry indices. Both sides rebuild the same rows, so the
+    * match verifies extraction + unescaping, not the fixture.
+    */
+  private def sitemapFixtureXml(docs: DataFrame): DataFrame = {
+    val host = concat(lit("sub"), (col("doc_id") % 3).cast("string"),
+      lit(".host"), (col("doc_id") % 23).cast("string"),
+      lit(".example"), (col("doc_id") % 7).cast("string"), lit(".com"))
+    def urlEntry(j: Column): Column = concat(
+      lit("<url><loc> https://"), host, lit("/page/"),
+      col("doc_id").cast("string"), lit("/"), j.cast("string"),
+      lit("?a=1&amp;b=2 </loc>"),
+      when(j % 2 === 0, concat(lit("<lastmod>2026-0"),
+        ((col("doc_id") % 9) + 1).cast("string"), lit("-15</lastmod>")))
+        .otherwise(lit("")),
+      lit("</url>"))
+    val urlset = concat(lit("<?xml version=\"1.0\"?><urlset>"),
+      array_join(transform(sequence(lit(0), col("doc_id") % 3), urlEntry(_)), ""),
+      lit("</urlset>"))
+    val index = concat(lit("<?xml version=\"1.0\"?><sitemapindex>"),
+      array_join(transform(sequence(lit(0), lit(1)), j => concat(
+        lit("<sitemap><loc>https://"), host, lit("/sitemap-"),
+        j.cast("string"), lit(".xml</loc></sitemap>"))), ""),
+      lit("</sitemapindex>"))
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, index).otherwise(urlset).as("xml"))
+  }
+
   // ---- SQL builders for the hash-replay oracles --------------------------
   // DuckDB's HUGEINT is signed int128, so a 64×64-bit product overflows it;
   // multiply-mod-2^64 is built from 32-bit limbs instead. Each builder is
@@ -819,6 +895,98 @@ object SparkEntry {
       SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n_shared
       FROM pf x JOIN pf y ON x.fp = y.fp AND x.doc_id < y.doc_id
       GROUP BY 1, 2 HAVING count(*) >= $FingerprintMinShared"""
+
+  /** The q_pagerank oracle: rebuild the 3-outlink edge multiset with the
+    * same integer arithmetic and unroll the same 5 power iterations —
+    * deg(u) ≡ 3 by construction, so each edge carries rank/3. round(,8)
+    * absorbs summation-order noise (double-adds commute to ~1e-16 relative,
+    * eight decimal places of margin on ranks ~ 1/N).
+    */
+  private def pagerankOracleSql: String = {
+    def it(prev: String, nxt: String): String =
+      s"""$nxt AS (
+        SELECT nodes.id,
+          (1.0 - 0.85) / (SELECT nn FROM nn) + 0.85 * coalesce(c.s, 0.0) AS rank
+        FROM nodes LEFT JOIN (
+          SELECT e.dst AS id, sum(r.rank / 3.0) AS s
+          FROM edges e JOIN $prev r ON e.src = r.id
+          GROUP BY e.dst) c ON nodes.id = c.id)"""
+    val iters = (0 until 5).map(i => it(s"r$i", s"r${i + 1}")).mkString(",\n      ")
+    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+      nn AS (SELECT count(*)::DOUBLE AS nn FROM nodes),
+      edges AS (
+        SELECT doc_id AS src,
+          (doc_id * 1103515245 + j * 12345) % (SELECT count(*) FROM documents) AS dst
+        FROM documents, (VALUES (1), (2), (3)) t(j)),
+      r0 AS (SELECT id, 1.0 / (SELECT nn FROM nn) AS rank FROM nodes),
+      $iters
+      SELECT id AS doc_id, round(rank, 8) AS rank FROM r5"""
+  }
+
+  /** The q_tfidf oracle: term/document frequencies, sklearn-style smoothed
+    * idf, and the identical top-5 cut — ranked over the ROUNDED score with
+    * a term tie-break, so a last-ulp `ln` divergence between engines
+    * cannot flip the selection.
+    */
+  private def tfidfOracleSql: String =
+    """WITH terms AS (
+         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+         FROM documents WHERE length(trim(text)) > 0),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+       dfreq AS (SELECT term, count(DISTINCT doc_id) AS df_docs FROM terms GROUP BY term),
+       n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+       scored AS (
+         SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_docs,
+           round(tf.tf * (ln(((SELECT n_docs FROM n) + 1.0) / (dfreq.df_docs + 1.0)) + 1.0), 6) AS tfidf
+         FROM tf JOIN dfreq ON tf.term = dfreq.term),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY doc_id
+           ORDER BY tfidf DESC, term ASC) AS rank
+         FROM scored)
+       SELECT doc_id, term, tf, df_docs, tfidf, rank FROM ranked WHERE rank <= 5"""
+
+  /** The q_sitemap oracle: closed-form reconstruction of every entry the
+    * fixture plants — unescaped loc, trimmed padding, lastmod only on even
+    * entry indices, sitemapindex kind for ids ≡ 0 (mod 10).
+    */
+  private def sitemapOracleSql: String =
+    """WITH h AS (SELECT doc_id,
+         'sub' || (doc_id % 3) || '.host' || (doc_id % 23) ||
+         '.example' || (doc_id % 7) || '.com' AS host
+       FROM documents),
+       urls AS (
+         SELECT doc_id, 'url' AS kind,
+           'https://' || host || '/page/' || doc_id || '/' || j || '?a=1&b=2' AS loc,
+           CASE WHEN j % 2 = 0 THEN '2026-0' || (doc_id % 9 + 1) || '-15' END AS lastmod
+         FROM h, LATERAL (SELECT unnest(generate_series(0, doc_id % 3)) AS j)
+         WHERE doc_id % 10 <> 0),
+       idx AS (
+         SELECT doc_id, 'sitemap' AS kind,
+           'https://' || host || '/sitemap-' || j || '.xml' AS loc,
+           CAST(NULL AS VARCHAR) AS lastmod
+         FROM h, (VALUES (0), (1)) t(j) WHERE doc_id % 10 = 0)
+       SELECT * FROM urls UNION ALL SELECT * FROM idx"""
+
+  /** The q_lm_quality oracle: the same whitespace tokens, bigram/unigram
+    * counts, vocabulary size, add-0.5 smoothing and per-doc mean −ln p.
+    */
+  private def lmQualityOracleSql: String =
+    """WITH toks AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+         FROM documents WHERE length(trim(text)) > 0),
+       big AS (
+         SELECT doc_id, t[i] AS u, t[i+1] AS v
+         FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+       c2 AS (SELECT u, v, count(*)::DOUBLE AS c2 FROM big GROUP BY u, v),
+       c1 AS (SELECT u, count(*)::DOUBLE AS c1 FROM big GROUP BY u),
+       vocab AS (SELECT count(DISTINCT tok)::DOUBLE AS vs
+         FROM (SELECT unnest(t) AS tok FROM toks)),
+       scored AS (
+         SELECT b.doc_id,
+           -ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * (SELECT vs FROM vocab))) AS nll
+         FROM big b JOIN c2 ON b.u = c2.u AND b.v = c2.v JOIN c1 ON b.u = c1.u)
+       SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS avg_nll
+       FROM scored GROUP BY doc_id"""
 
   /** Shared CTE chain for the cluster oracles: the exact word-3-shingle
     * Jaccard pair set (the same twin `q_minhash_neardups` is checked
@@ -1034,6 +1202,10 @@ object SparkEntry {
          FROM c""",
     "q_pii_scrub" -> piiScrubOracleSql,
     "q_fingerprint_dups" -> fingerprintDupsOracleSql,
+    "q_pagerank" -> pagerankOracleSql,
+    "q_lm_quality" -> lmQualityOracleSql,
+    "q_tfidf" -> tfidfOracleSql,
+    "q_sitemap" -> sitemapOracleSql,
     "q_gif_frames" -> gifFramesOracleSql,
     "q_decontaminate" -> decontaminateOracleSql,
     "q_repetition" -> repetitionOracleSql,

@@ -1,0 +1,52 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF keyword extraction — per-document top-k salient terms, the
+  * standard corpus-statistics signal for topic tagging / search indexing /
+  * quality triage over a crawl corpus. Fully relational, so the whole
+  * operator (term frequencies, document frequencies, the smoothed idf, and
+  * the top-k selection) replays in external SQL.
+  *
+  *   tf(d, t)  = occurrences of t in d
+  *   idf(t)    = ln((N + 1) / (df(t) + 1)) + 1      (sklearn's smooth_idf)
+  *   tfidf     = tf · idf, ROUNDED to 6 decimals BEFORE ranking so the
+  *               top-k cut is identical across engines whose `ln` may
+  *               differ in the last ulp; ties broken by term string
+  *
+  * Shape for 100 TB: term extraction is one explode off the codegen
+  * tokenizer; tf and df are hash-aggregates with map-side combine (df on
+  * the DISTINCT (doc, term) pairs); N rides in-plan as a broadcast 1-row
+  * aggregate; the idf join keys on the term (Zipf-skewed — AQE splits the
+  * hot stopword keys, build rows are 1-per-key); top-k is a window
+  * row_number PARTITIONED BY DOCUMENT, so the window shuffle key is the
+  * finest-grained one available and never concentrates (contrast a global
+  * rank). Nothing touches the driver.
+  */
+object TfIdf {
+
+  /** (id, term, tf, df_docs, tfidf, rank) — the k highest-tfidf terms per
+    * document, rank 1 = most salient. Documents with no tokens are absent.
+    */
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val terms = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .localCheckpoint(true) // feeds tf, df, and N below
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.select("id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df_docs"))
+    val n = df.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("n_docs") + 1.0) / (col("df_docs") + 1.0)) + 1.0), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id", "term", "tf", "df_docs", "tfidf", "rank")
+  }
+}
