@@ -432,6 +432,11 @@ object SparkEntry {
       // oracle reconstructs every (kind, loc, lastmod) row without parsing
       graft.frontier.Sitemap.parse(
         sitemapFixtureXml(t(s, d, "documents")), "xml", Seq("doc_id"))),
+    "q_anchor_text" -> ((s, d) => // per-target top-3 anchor texts over the
+      // q_pagerank link graph with planted case/whitespace anchor variants
+      // — normalization, counts, and the rank cut all replay in DuckDB
+      graft.text.AnchorText.topAnchors(
+        anchorFixtureLinks(t(s, d, "documents")), "dst", "anchor", k = 3)),
     "q_pagerank" -> ((s, d) => { // link-graph rank over a deterministic
       // 3-outlinks-per-doc graph (plain integer arithmetic, so the oracle
       // rebuilds the same edges and unrolls the same 5 power iterations
@@ -701,6 +706,28 @@ object SparkEntry {
       .select(col("src"),
         ((col("src") * 1103515245L + col("j") * 12345L) % col("n_docs")).as("dst"))
 
+  /** The q_anchor_text fixture: the q_pagerank link multiset with anchors.
+    * Links j ∈ {1,2} carry case/whitespace VARIANTS of the same logical
+    * anchor ("  Anchor N" / "anchor  N", N = (src+dst) mod 5) — two sources
+    * with src₁ ≡ src₂ (mod 5) pointing at the same dst merge only under
+    * normalization, so the count verifies it; j = 3 carries a dst-local
+    * anchor ("see page dst%7"). Both sides rebuild the normalized rows.
+    */
+  private def anchorFixtureLinks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .select(col("doc_id").as("src"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("j"), col("n_docs"))
+      .select(col("src"), col("j"),
+        ((col("src") * 1103515245L + col("j") * 12345L) % col("n_docs")).as("dst"))
+      .select(col("src"), col("dst"),
+        when(col("j") === 1,
+          concat(lit("  Anchor "), ((col("src") + col("dst")) % 5).cast("string")))
+          .when(col("j") === 2,
+            concat(lit("anchor  "), ((col("src") + col("dst")) % 5).cast("string")))
+          .otherwise(concat(lit("see page "), (col("dst") % 7).cast("string")))
+          .as("anchor"))
+
   /** The q_sitemap fixture: every 10th document carries a sitemapindex of
     * two child sitemaps; the rest carry a urlset of 1–3 page entries
     * (hosts = the blocklist fixture pattern). Planted parser work: `<loc>`
@@ -967,6 +994,26 @@ object SparkEntry {
          FROM h, (VALUES (0), (1)) t(j) WHERE doc_id % 10 = 0)
        SELECT * FROM urls UNION ALL SELECT * FROM idx"""
 
+  /** The q_anchor_text oracle: rebuild the link multiset, apply the SAME
+    * normalization in SQL (lower + trim + whitespace collapse), count per
+    * (dst, anchor), identical top-3 cut with the anchor tie-break.
+    */
+  private def anchorTextOracleSql: String =
+    """WITH e AS (
+         SELECT doc_id AS src, j,
+           (doc_id * 1103515245 + j * 12345) % (SELECT count(*) FROM documents) AS dst
+         FROM documents, (VALUES (1), (2), (3)) t(j)),
+       a AS (
+         SELECT dst, lower(trim(regexp_replace(
+           CASE WHEN j = 1 THEN '  Anchor ' || ((src + dst) % 5)
+                WHEN j = 2 THEN 'anchor  ' || ((src + dst) % 5)
+                ELSE 'see page ' || (dst % 7) END, '\s+', ' ', 'g'))) AS anchor
+         FROM e),
+       c AS (SELECT dst, anchor, count(*) AS n_links FROM a GROUP BY dst, anchor),
+       r AS (SELECT *, row_number() OVER (PARTITION BY dst
+           ORDER BY n_links DESC, anchor ASC) AS rank FROM c)
+       SELECT dst, anchor, n_links, rank FROM r WHERE rank <= 3"""
+
   /** The q_lm_quality oracle: the same whitespace tokens, bigram/unigram
     * counts, vocabulary size, add-0.5 smoothing and per-doc mean −ln p.
     */
@@ -1206,6 +1253,7 @@ object SparkEntry {
     "q_lm_quality" -> lmQualityOracleSql,
     "q_tfidf" -> tfidfOracleSql,
     "q_sitemap" -> sitemapOracleSql,
+    "q_anchor_text" -> anchorTextOracleSql,
     "q_gif_frames" -> gifFramesOracleSql,
     "q_decontaminate" -> decontaminateOracleSql,
     "q_repetition" -> repetitionOracleSql,
