@@ -2,7 +2,7 @@ package graft
 
 import graft.dedup.Dedup
 import graft.sample.Sampling
-import graft.text.{Decontaminate, Pii, Repetition, TextAnalysis}
+import graft.text.{Decontaminate, LmScore, Pii, Repetition, TextAnalysis, TfIdf}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -10,9 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** End-to-end training-set assembly — every stage a user of this library
   * would chain, composed in the order a real pipeline runs them:
   *
-  *   quality gate → repetition gate → PII redact → exact dedup →
-  *   near-dup canonical (MinHash-LSH + connected components) →
-  *   eval decontamination → deterministic stratified sample.
+  *   quality gate → repetition gate → PII redact → LM-perplexity gate →
+  *   exact dedup → near-dup canonical (MinHash-LSH + connected components)
+  *   → eval decontamination → deterministic stratified sample →
+  *   TF-IDF term tagging.
   *
   * The corpus is the sf0.001 documents table with PLANTED casualties for
   * every stage (an exact copy, a boilerplate-stuffed page, a PII page, an
@@ -35,7 +36,17 @@ class TrainingPipelineSpec extends AnyFunSuite {
       (9001L, "en", firstText),                       // exact dup of doc 0
       (9002L, "en", ("subscribe now " * 40).trim),    // repetition junk
       (9003L, "en", s"write to alice@example.org or 10.1.2.3 today. $evalText"),
-      (9004L, "en", s"quiz answer sheet: $evalText end of sheet"))
+      (9004L, "en", s"quiz answer sheet: $evalText end of sheet"),
+      // keyword-stuffing gibberish: passes the cheap gates (alphabetic, no
+      // punctuation, no repeated bigram) — and because this corpus is
+      // near-uniform word soup, PURE gibberish would score a NORMAL nll
+      // (≈ ln vocab, the corpus's own level). The real outlier shape is a
+      // COMMON head with an unseen continuation (huge C1, C2 = 1 from this
+      // doc alone), so the plant alternates frequent corpus words with
+      // unique junk tokens; its mean −ln p sits far above mean + 3σ
+      (9005L, "en", (0 until 20).flatMap(i => Seq(
+        Seq("table", "value", "part", "row", "key")(i % 5),
+        s"zq${('a' + i / 5).toChar}${('a' + i % 5).toChar}x")).mkString(" ")))
       .toDF("doc_id", "lang", "text")
     base.unionByName(plants)
   }
@@ -48,10 +59,20 @@ class TrainingPipelineSpec extends AnyFunSuite {
         Repetition.wordBigrams(split(col("text"), "\\s+"))) < 0.2)
     // 2. PII scrub (projection)
     val scrubbed = gated.withColumn("text", Pii.redact(col("text")))
+    // 2.5 LM-perplexity gate: drop statistical outliers under the corpus's
+    // own bigram model (mean + 3σ — a relative threshold, so it tracks any
+    // corpus; docs with < 2 tokens have no score and drop with the junk)
+    val lmScores = LmScore.bigramNll(scrubbed, "doc_id", "text")
+    val thr = lmScores.agg(
+      (avg(col("avg_nll")) + stddev(col("avg_nll")) * 3).as("thr"))
+    val lmKeep = lmScores.crossJoin(broadcast(thr))
+      .filter(col("avg_nll") <= col("thr"))
+      .select(col("id").as("doc_id"))
+    val fluent = scrubbed.join(lmKeep, Seq("doc_id"), "left_semi")
     // 3. exact dedup: keep each content group's keeper
-    val keepers = Dedup.exactDupGroups(scrubbed, "doc_id", "text")
+    val keepers = Dedup.exactDupGroups(fluent, "doc_id", "text")
       .select(col("keeper_id").as("doc_id"))
-    val exactDeduped = scrubbed.join(keepers, Seq("doc_id"), "left_semi")
+    val exactDeduped = fluent.join(keepers, Seq("doc_id"), "left_semi")
     // 4. near-dup canonical via MinHash pairs + connected components
     val pairs = Dedup.minhashNearDups(exactDeduped, "doc_id", "text")
     val canonical = Dedup.dedupCanonical(exactDeduped, "doc_id", pairs)
@@ -73,6 +94,9 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(!ids.contains(9001L))
     // the repetition plant is gone (top bigram "subscribe now" dominates)
     assert(!ids.contains(9002L))
+    // the gibberish plant passed the cheap gates but the corpus-trained
+    // bigram LM flags it as an outlier
+    assert(!ids.contains(9005L))
     // both eval-quoting plants are gone — including the PII one, whose
     // contamination must be detected on the REDACTED text
     assert(!ids.contains(9003L) && !ids.contains(9004L))
@@ -90,6 +114,11 @@ class TrainingPipelineSpec extends AnyFunSuite {
     val noDedup = corpus
       .filter(TextAnalysis.qualityScore(col("text")) > 0.3)
     assert(out.count() < noDedup.count())
+
+    // enrichment composes: every sampled doc gets at least one TF-IDF tag
+    val tagged = TfIdf.topTerms(out, "doc_id", "text", k = 3)
+      .select(col("id").as("doc_id")).distinct()
+    assert(tagged.count() === out.count())
   }
 
   test("the composed pipeline is deterministic across re-runs and replans") {
