@@ -243,6 +243,42 @@ object SparkEntry {
         .select(col("doc_id"), col("host"), col("matched_domain"))
     }),
 
+    "q_recrawl_lambda" -> ((s, d) => { // Cho–Garcia-Molina per-URL change
+      // rate over synthetic fetch history: url=user, logical clock=event_id,
+      // content fingerprint flips every (url%9+1)*50 ticks — the oracle
+      // replays the estimator in closed-form SQL (lag + ln)
+      val fetches = t(s, d, "events").select(
+        col("user_id").as("url_id"),
+        col("event_id").as("seq"),
+        floor(col("event_id") / ((col("user_id") % 9 + 1) * 50)).as("fp"))
+      graft.frontier.Recrawl.changeRate(fetches, "url_id", "seq", "fp")
+    }),
+    "q_crawl_traps" -> ((s, d) => { // URL-template explosion census: 'view'
+      // events synthesize an /archive/<id> trap (unbounded URLs, 5 distinct
+      // contents), the rest a healthy /p/<id%97> section; digit-collapse +
+      // two-key count-distinct census, is_trap kept as 0/1 audit column
+      val urls = t(s, d, "events").select(
+        concat(lit("h"), (col("user_id") % 20).cast("string")).as("host"),
+        when(col("event_type") === "view",
+          concat(lit("/archive/"), col("event_id").cast("string")))
+          .otherwise(concat(lit("/p/"), (col("event_id") % 97).cast("string")))
+          .as("path"),
+        when(col("event_type") === "view", (col("event_id") % 5).cast("string"))
+          .otherwise((col("event_id") % 97).cast("string")).as("content"))
+      graft.frontier.TrapDetect.flagTraps(
+        graft.frontier.TrapDetect.urlTemplates(urls, "host", "path", "content"))
+    }),
+    "q_host_cardinality" -> ((s, d) => { // sketch-gated exact row (the
+      // q_ann_ivf move): emits the exact per-host distinct count only where
+      // the HLL++ estimate (rsd 2%) lands within 10% — a sketch regression
+      // drops rows and the oracle diff goes red
+      val agg = t(s, d, "events").groupBy(col("user_id"))
+        .agg(countDistinct(col("event_id")).as("n_exact"),
+          approx_count_distinct(col("event_id"), 0.02).as("n_approx"))
+      agg.filter(abs(col("n_approx") - col("n_exact")) <= col("n_exact") * 0.1)
+        .select(col("user_id"), col("n_exact"))
+    }),
+
     // ---- training-data ops: dedup -----------------------------------------
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDupGroups(t(s, d, "documents"), "doc_id", "text")),
@@ -1269,6 +1305,51 @@ object SparkEntry {
              THEN 'sub1.host1.example1.com'
            END AS matched_domain
          FROM u WHERE matched_domain IS NOT NULL""",
+    "q_recrawl_lambda" ->
+      """WITH f AS (
+           SELECT user_id AS url_id, event_id AS seq,
+             CAST(floor(event_id / ((user_id % 9 + 1) * 50)) AS BIGINT) AS fp
+           FROM events),
+         l AS (
+           SELECT url_id, seq, fp,
+             lag(fp) OVER (PARTITION BY url_id ORDER BY seq) AS prev_fp FROM f),
+         a AS (
+           SELECT url_id, count(*) AS n_fetches,
+             CAST(sum(CASE WHEN prev_fp IS NOT NULL AND prev_fp <> fp
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+             CAST(max(seq) - min(seq) AS DOUBLE) AS span
+           FROM l GROUP BY url_id)
+         SELECT url_id, n_fetches, n_changes,
+           round(-ln((CAST(n_fetches - 1 - n_changes AS DOUBLE) + 0.5) /
+                     (CAST(n_fetches - 1 AS DOUBLE) + 0.5))
+                 / (span / CAST(n_fetches - 1 AS DOUBLE)) * 1000, 4) + 0.0
+             AS lambda_k
+         FROM a WHERE n_fetches >= 2""",
+    "q_crawl_traps" ->
+      """WITH urls AS (
+           SELECT 'h' || (user_id % 20) AS host,
+             CASE WHEN event_type = 'view'
+               THEN '/archive/' || CAST(event_id AS VARCHAR)
+               ELSE '/p/' || CAST(event_id % 97 AS VARCHAR) END AS path,
+             CASE WHEN event_type = 'view'
+               THEN CAST(event_id % 5 AS VARCHAR)
+               ELSE CAST(event_id % 97 AS VARCHAR) END AS content
+           FROM events),
+         t AS (
+           SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS template,
+             count(DISTINCT path) AS n_urls,
+             count(DISTINCT content) AS n_content
+           FROM urls GROUP BY 1, 2)
+         SELECT host, template, n_urls, n_content,
+           CAST(n_urls >= 100 AND CAST(n_content AS DOUBLE) <= n_urls * 0.1
+             AS INT) AS is_trap
+         FROM t""",
+    "q_host_cardinality" ->
+      // exact side only: the Spark query emits (user_id, n_exact) gated on
+      // its HLL++ estimate being within 10%, so a sketch regression surfaces
+      // as missing rows against this full exact census
+      """SELECT user_id, count(DISTINCT event_id) AS n_exact
+         FROM events GROUP BY user_id""",
     "q_phash_knn" -> phashKnnOracleSql,
     "q_cuckoo_filter_new" ->
       """SELECT DISTINCT l_orderkey AS url_hash FROM lineitem
