@@ -16,16 +16,18 @@ package graft.frontier
   */
 object RobotsTxt {
 
-  final case class Group(agents: Seq[String], disallow: Seq[String])
+  final case class Group(agents: Seq[String], disallow: Seq[String],
+      crawlDelay: Option[Double] = None)
 
   def parseGroups(text: String): Seq[Group] = {
     val groups = scala.collection.mutable.ArrayBuffer[Group]()
     var agents = Vector.empty[String]
     var rules = Vector.empty[String]
+    var delay: Option[Double] = None
     var inRules = false
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += Group(agents, rules)
-      agents = Vector.empty; rules = Vector.empty; inRules = false
+      if (agents.nonEmpty) groups += Group(agents, rules, delay)
+      agents = Vector.empty; rules = Vector.empty; delay = None; inRules = false
     }
     (if (text == null) "" else text).linesIterator.foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -40,6 +42,12 @@ object RobotsTxt {
           case "disallow" =>
             inRules = true
             if (value.nonEmpty) rules :+= value // empty Disallow = allow all
+          case "crawl-delay" =>
+            inRules = true
+            // non-standard but honored by most large crawlers; malformed or
+            // negative values are ignored, last valid one in a group wins
+            delay = value.toDoubleOption.filter(d => d >= 0 && d.isFinite)
+              .orElse(delay)
           case _ => if (agents.nonEmpty) inRules = true // any other directive closes the agent list
         }
       }
@@ -48,17 +56,38 @@ object RobotsTxt {
     groups.toSeq
   }
 
-  /** Disallow prefixes applying to `agent`: the group whose agent token is
-    * the LONGEST substring match of our agent name wins; the `*` group is
-    * the fallback; no group at all = everything allowed.
-    */
-  def disallowFor(text: String, agent: String): Seq[String] = {
+  /** The group applying to `agent`: longest agent-token substring match
+    * wins; the `*` group is the fallback. */
+  private def groupFor(text: String, agent: String): Option[Group] = {
     val a = agent.toLowerCase
     val groups = parseGroups(text)
     val matching = groups
       .flatMap(g => g.agents.filter(t => t != "*" && a.contains(t)).maxByOption(_.length)
         .map(t => (t.length, g)))
-    matching.maxByOption(_._1).map(_._2.disallow).getOrElse(
-      groups.find(_.agents.contains("*")).map(_.disallow).getOrElse(Seq.empty))
+    matching.maxByOption(_._1).map(_._2)
+      .orElse(groups.find(_.agents.contains("*")))
   }
+
+  /** Crawl-delay seconds for `agent` under the same group selection as
+    * [[disallowFor]]; None when the winning group (or the whole file)
+    * declares none.
+    */
+  def crawlDelayFor(text: String, agent: String): Option[Double] =
+    groupFor(text, agent).flatMap(_.crawlDelay)
+
+  /** The [[Scheduler]] host-state input derived from robots: Crawl-delay in
+    * milliseconds, floored at 1 ms (the scheduler's own floor), `defaultMs`
+    * when the file declares none. This is the link from a fetched
+    * robots.txt body to the per-host `min_delay_ms` politeness column.
+    */
+  def minDelayMs(text: String, agent: String, defaultMs: Long): Long =
+    crawlDelayFor(text, agent)
+      .map(d => math.max(1L, math.round(d * 1000.0))).getOrElse(defaultMs)
+
+  /** Disallow prefixes applying to `agent`: the group whose agent token is
+    * the LONGEST substring match of our agent name wins; the `*` group is
+    * the fallback; no group at all = everything allowed.
+    */
+  def disallowFor(text: String, agent: String): Seq[String] =
+    groupFor(text, agent).map(_.disallow).getOrElse(Seq.empty)
 }

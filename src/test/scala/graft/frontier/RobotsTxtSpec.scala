@@ -46,4 +46,52 @@ class RobotsTxtSpec extends AnyFunSuite {
     assert(rules.exists(r => "/private/data.html".startsWith(r)))
     assert(!rules.exists(r => "/public/data.html".startsWith(r)))
   }
+
+  val robotsDelay =
+    """User-agent: *
+      |Crawl-delay: 2
+      |Disallow: /private/
+      |
+      |User-agent: graftbot
+      |Crawl-delay: 0.5
+      |Disallow: /graft-only/
+      |
+      |User-agent: slowbot
+      |Crawl-delay: not-a-number
+      |Crawl-delay: -3
+      |Disallow: /x/
+      |""".stripMargin
+
+  test("crawl-delay follows the same group selection as disallow") {
+    assert(RobotsTxt.crawlDelayFor(robotsDelay, "GraftBot/2.1") === Some(0.5))
+    assert(RobotsTxt.crawlDelayFor(robotsDelay, "somebot") === Some(2.0))
+  }
+
+  test("malformed and negative crawl-delay values are ignored") {
+    assert(RobotsTxt.crawlDelayFor(robotsDelay, "slowbot") === None)
+  }
+
+  test("no crawl-delay anywhere yields None") {
+    assert(RobotsTxt.crawlDelayFor(robots, "graftbot") === None)
+    assert(RobotsTxt.crawlDelayFor("", "any") === None)
+  }
+
+  test("minDelayMs converts to the scheduler's politeness column") {
+    // 0.5 s → 500 ms; wildcard 2 s → 2000 ms; absent → caller default;
+    // sub-ms delays floor at the scheduler's own 1 ms floor
+    assert(RobotsTxt.minDelayMs(robotsDelay, "graftbot", 1000L) === 500L)
+    assert(RobotsTxt.minDelayMs(robotsDelay, "somebot", 1000L) === 2000L)
+    assert(RobotsTxt.minDelayMs(robots, "graftbot", 1234L) === 1234L)
+    assert(RobotsTxt.minDelayMs("User-agent: *\nCrawl-delay: 0.0001\n", "b", 9L) === 1L)
+  }
+
+  test("crawl-delay between agent lines does not split the group") {
+    // a directive closes the AGENT LIST (new user-agent after it starts a
+    // new group) but disallow rules that follow still land in this group
+    val t = "User-agent: a\nCrawl-delay: 1\nDisallow: /d/\nUser-agent: b\nDisallow: /e/\n"
+    assert(RobotsTxt.disallowFor(t, "a") === Seq("/d/"))
+    assert(RobotsTxt.crawlDelayFor(t, "a") === Some(1.0))
+    assert(RobotsTxt.disallowFor(t, "b") === Seq("/e/"))
+    assert(RobotsTxt.crawlDelayFor(t, "b") === None)
+  }
 }
