@@ -56,4 +56,23 @@ class RecrawlSpec extends AnyFunSuite {
       .select("url").as[String].collect().toSet
     assert(dueTight === Set("c"))
   }
+
+  test("change mass composes as scheduler priority (rank-as-priority move)") {
+    // Due URLs re-enter the frontier queue with priority = change mass, so
+    // under a capacity-1 politeness budget the host fetches its most
+    // change-starved URL first — c (mass 28.97) over a (mass 2.36).
+    val rates = Recrawl.changeRate(fetches, "url", "seq", "fp")
+    val due = Recrawl.nextDue(fetches.filter(col("url") =!= "d"), rates,
+      "url", "seq", now = 100.0, threshold = 1.0)
+    val queue = due.select(
+      xxhash64(col("url")).as("url_hash"),
+      col("url"),
+      lit("host1").as("host"),
+      col("last_seq").as("seq"),
+      col("change_mass").as("priority"))
+    val hostState = Seq(("host1", 1000L, 1)).toDF("host", "min_delay_ms", "budget")
+    val picked = Scheduler.schedule(queue, hostState, roundMillis = 60000L)
+      .select("url").as[String].collect().toSeq
+    assert(picked === Seq("c"))
+  }
 }
