@@ -243,6 +243,19 @@ object SparkEntry {
         .select(col("doc_id"), col("host"), col("matched_domain"))
     }),
 
+    "q_adaptive_delay" -> ((s, d) => { // observed-latency politeness: per-host
+      // bias-corrected EWMA (decay .5 → exact power-of-two weights, so the
+      // weighted sums replay in SQL) clamped into the scheduler's
+      // min_delay_ms; host=user, latency=value, fetch order=(ts, event_id)
+      val log = t(s, d, "events").select(
+        col("user_id").as("host"), col("ts"), col("event_id"),
+        col("value").as("latency_ms"))
+      val e = graft.frontier.AdaptivePoliteness.ewmaLatency(
+          log, "host", Seq("ts", "event_id"), "latency_ms")
+        .withColumn("ewma_ms", round(col("ewma_ms"), 3))
+      graft.frontier.AdaptivePoliteness.adaptiveDelay(e)
+        .select(col("host"), col("n_obs"), col("ewma_ms"), col("min_delay_ms"))
+    }),
     "q_recrawl_lambda" -> ((s, d) => { // Cho–Garcia-Molina per-URL change
       // rate over synthetic fetch history: url=user, logical clock=event_id,
       // content fingerprint flips every (url%9+1)*50 ticks — the oracle
@@ -402,6 +415,17 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("rk"))),
     "q_domain_mix" -> ((s, d) => // sqrt-temperature mixture weights per lang
       Sampling.temperatureWeights(t(s, d, "documents"), "lang")),
+    "q_shard_assign" -> ((s, d) => // balanced training-shard export: the
+      // two-phase distributed prefix sum must equal the oracle's one-window
+      // closed form row-for-row
+      graft.`export`.ShardExport.assignShards(
+          t(s, d, "documents"), "doc_id", "n_chars", targetSize = 4096L)
+        .select(col("doc_id"), col("shard_id"))),
+    "q_shard_manifest" -> ((s, d) => // per-shard row/byte manifest
+      graft.`export`.ShardExport.manifest(
+        graft.`export`.ShardExport.assignShards(
+          t(s, d, "documents"), "doc_id", "n_chars", targetSize = 4096L),
+        "n_chars")),
 
     // ---- training-data ops: PII scrub -------------------------------------
     "q_pii_scrub" -> ((s, d) => { // counts AND redacted text verified (md5):
@@ -494,6 +518,37 @@ object SparkEntry {
       graft.multimodal.Multimodal.decodeMeta(s, images).toDF()
         .select(col("image_id"), col("w"), col("h"), col("fmt"),
           col("decode_ok").cast("int").as("decode_ok"))
+    }),
+    "q_image_gate" -> ((s, d) => {
+      // LAION-style admission gate, fully oracled: REAL decode supplies
+      // (w, h, decode_ok) that DuckDB recomputes from the id; captions are
+      // perturbed deterministically (i%7 → 1 token, i%13 → 200 tokens) so
+      // every caption branch fires, and crafted undecodable/tiny rows
+      // exercise the decode and min-dim branches the healthy fixture can't
+      import s.implicits._
+      val images = graft.fixtures.ImageGen.generate(s, 200).toDF()
+      val i = substring(col("image_id"), 4, 10).cast("long")
+      val longCap = Seq.fill(200)("w").mkString(" ")
+      val caps = images.select(col("image_id"),
+        when(i % 7 === 0, lit("tiny"))
+          .when(i % 13 === 0, lit(longCap))
+          .otherwise(col("caption")).as("caption"))
+      val meta = graft.multimodal.Multimodal.decodeMeta(s, images).toDF()
+        .select(col("image_id"), col("w"), col("h"), col("decode_ok"))
+        .join(caps, "image_id")
+      val bad = s.range(0, 5).select(
+        concat(lit("bad"), col("id")).as("image_id"),
+        lit(100).as("w"), lit(100).as("h"), lit(false).as("decode_ok"),
+        lit("a b c d").as("caption"))
+      val tny = s.range(0, 5).select(
+        concat(lit("tny"), col("id")).as("image_id"),
+        lit(8).as("w"), lit(100).as("h"), lit(true).as("decode_ok"),
+        lit("a b c d").as("caption"))
+      // minW/minH = 16 (below the fixture's 32-px floor) so the ASPECT
+      // branch is reachable: every out-of-band ratio in the 32..128 dim
+      // lattice has a 32-px side, which minW = 64 would shadow
+      graft.multimodal.Multimodal.gateImages(
+        meta.unionByName(bad).unionByName(tny), minW = 16, minH = 16)
     }),
     "q_image_features" -> ((s, d) => {
       // the q_ann_ivf pattern: emitted rows are the closed-form
@@ -1112,6 +1167,37 @@ object SparkEntry {
         1 AS decode_ok
       FROM mx"""
 
+  /** q_image_gate oracle: the full reason chain replayed — dims from the
+    * mix64 closed form, caption token counts from the perturbation rule,
+    * the crafted decode/too_small rows appended verbatim.
+    */
+  private def imageGateOracleSql: String =
+    s"""WITH ${mix64ChainSql(200, Seq(1L -> "wa", 2L -> "hb"))},
+      base AS (
+        SELECT 'img' || format('{:010d}', i::BIGINT) AS image_id,
+          CAST(32 + ${sMod("wa", 4)} * 32 AS DOUBLE) AS w,
+          CAST(32 + ${sMod("hb", 4)} * 32 AS DOUBLE) AS h,
+          1 AS decode_ok,
+          CASE WHEN i % 7 = 0 THEN 1
+               WHEN i % 13 = 0 THEN 200 ELSE 6 END AS tok
+        FROM mx
+        UNION ALL
+        SELECT 'bad' || i, 100, 100, 0, 4 FROM range(5) t(i)
+        UNION ALL
+        SELECT 'tny' || i, 8, 100, 1, 4 FROM range(5) t(i)),
+      gated AS (
+        SELECT image_id,
+          CASE WHEN decode_ok = 0 THEN 'decode'
+               WHEN w < 16 OR h < 16 THEN 'too_small'
+               WHEN w / h < 0.5 OR w / h > 2.0 THEN 'aspect'
+               WHEN tok < 3 THEN 'caption_short'
+               WHEN tok > 128 THEN 'caption_long'
+               ELSE 'ok' END AS reason
+        FROM base)
+      SELECT image_id, reason,
+        CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS pass
+      FROM gated"""
+
   /** q_image_features oracle: closed-form aspect (the guard is Spark-side). */
   private def imageFeaturesOracleSql: String =
     s"""WITH ${mix64ChainSql(100, Seq(1L -> "wa", 2L -> "hb"))}
@@ -1283,6 +1369,21 @@ object SparkEntry {
          SELECT lang, n,
            round(sqrt(n) / (SELECT sum(sqrt(n)) FROM c), 6) AS weight
          FROM c""",
+    "q_shard_assign" ->
+      """SELECT doc_id,
+           CAST(floor((sum(n_chars) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)
+             / 4096.0) AS BIGINT) AS shard_id
+         FROM documents""",
+    "q_shard_manifest" ->
+      """WITH a AS (SELECT n_chars,
+           CAST(floor((sum(n_chars) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)
+             / 4096.0) AS BIGINT) AS shard_id
+         FROM documents)
+         SELECT shard_id, count(*) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS n_bytes
+         FROM a GROUP BY shard_id""",
     "q_pii_scrub" -> piiScrubOracleSql,
     "q_fingerprint_dups" -> fingerprintDupsOracleSql,
     "q_pagerank" -> pagerankOracleSql,
@@ -1305,6 +1406,22 @@ object SparkEntry {
              THEN 'sub1.host1.example1.com'
            END AS matched_domain
          FROM u WHERE matched_domain IS NOT NULL""",
+    "q_adaptive_delay" ->
+      """WITH r AS (
+           SELECT user_id AS host, value AS latency_ms,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM events),
+         e AS (
+           SELECT host, max(n) AS n_obs,
+             round(sum(latency_ms * pow(0.5, n - rn)) /
+                   sum(pow(0.5, n - rn)), 3) AS ewma_ms
+           FROM r GROUP BY host)
+         SELECT host, n_obs, ewma_ms,
+           CAST(least(30000, greatest(100, ceil(ewma_ms * 2.0))) AS BIGINT)
+             AS min_delay_ms
+         FROM e""",
     "q_recrawl_lambda" ->
       """WITH f AS (
            SELECT user_id AS url_id, event_id AS seq,
@@ -1358,6 +1475,7 @@ object SparkEntry {
     "q_simhash_neardups" -> simhashOracleSql,
     "q_fingerprint" -> fingerprintOracleSql,
     "q_image_meta" -> imageMetaOracleSql,
+    "q_image_gate" -> imageGateOracleSql,
     "q_image_features" -> imageFeaturesOracleSql,
     "q_video_frames" -> videoFramesOracleSql,
     "q_audio_features" ->

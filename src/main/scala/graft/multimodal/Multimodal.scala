@@ -88,6 +88,40 @@ object Multimodal {
       }).toDF("image_id", "bytes", "w", "h")
   }
 
+  /** Image+caption quality gate — the LAION-style admission filter a
+    * training-data pipeline runs right after decode: drop rows whose image
+    * is undecodable, too small, or absurdly elongated, and whose caption is
+    * too short/long to supervise anything. Input needs (image_id, w, h,
+    * decode_ok, caption) — i.e. [[decodeMeta]] joined back to the source
+    * table's caption.
+    *
+    * Output is (image_id, reason, pass): `reason` names the FIRST failing
+    * rule in a fixed cheap-to-expensive order (decode → dims → aspect →
+    * caption length), `"ok"` otherwise, so the gate doubles as a rejection
+    * census (`groupBy(reason).count` tells a pipeline operator what the
+    * crawl is wasting fetches on).
+    *
+    * Scale shape: pure column expressions — no shuffle, no UDF, one
+    * whole-stage-codegen projection; a caller filtering `pass = 1`
+    * gets the predicate pushed into the scan of any columnar source that
+    * materializes these columns.
+    */
+  def gateImages(metaWithCaption: DataFrame,
+      minW: Int = 64, minH: Int = 64,
+      minAspect: Double = 0.5, maxAspect: Double = 2.0,
+      minCaptionTokens: Int = 3, maxCaptionTokens: Int = 128): DataFrame = {
+    val tokens = size(split(trim(col("caption")), "\\s+"))
+    val aspect = col("w").cast("double") / col("h").cast("double")
+    val reason = when(!col("decode_ok"), "decode")
+      .when(col("w") < minW || col("h") < minH, "too_small")
+      .when(aspect < minAspect || aspect > maxAspect, "aspect")
+      .when(tokens < minCaptionTokens, "caption_short")
+      .when(tokens > maxCaptionTokens, "caption_long")
+      .otherwise("ok")
+    metaWithCaption.select(col("image_id"), reason.as("reason"))
+      .withColumn("pass", (col("reason") === "ok").cast("int"))
+  }
+
   final case class ImagePhash(image_id: String, phash: Long)
 
   /** 64-bit DCT perceptual hash (the classic pHash scheme): bilinear-resize

@@ -304,4 +304,33 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(String, String, String)].collect().toSet
     assert(capped === Set(("caption_drift", "a1", "a2"), ("caption_spam", "b1", "b2")))
   }
+
+  test("quality gate: reason precedence, pass bit, and rejection census") {
+    import spark.implicits._
+    // one row per branch, plus precedence collisions: an undecodable tiny
+    // image reports 'decode' (first rule), a tiny wide image 'too_small'
+    val rows = Seq(
+      ("ok1",    100, 100, true,  "a fine caption here"),
+      ("dec1",   100, 100, false, "a fine caption here"),
+      ("dec2",     8, 100, false, "x"),                   // decode shadows all
+      ("small1",   8, 100, true,  "a fine caption here"),
+      ("small2",   8, 400, true,  "a fine caption here"), // shadows aspect
+      ("asp1",   300, 100, true,  "a fine caption here"),
+      ("asp2",   100, 300, true,  "a fine caption here"),
+      ("short1", 100, 100, true,  "xy"),
+      ("long1",  100, 100, true,  Seq.fill(200)("w").mkString(" ")))
+      .toDF("image_id", "w", "h", "decode_ok", "caption")
+    val got = Multimodal.gateImages(rows, minW = 16, minH = 16,
+        minCaptionTokens = 2, maxCaptionTokens = 128)
+      .as[(String, String, Int)].collect()
+      .map { case (id, r, p) => id -> ((r, p)) }.toMap
+    assert(got === Map(
+      "ok1" -> (("ok", 1)), "dec1" -> (("decode", 0)), "dec2" -> (("decode", 0)),
+      "small1" -> (("too_small", 0)), "small2" -> (("too_small", 0)),
+      "asp1" -> (("aspect", 0)), "asp2" -> (("aspect", 0)),
+      "short1" -> (("caption_short", 0)), "long1" -> (("caption_long", 0))))
+    // no shuffle: the gate is a pure projection
+    val plan = Multimodal.gateImages(rows).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
 }
