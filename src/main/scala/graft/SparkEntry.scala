@@ -4,7 +4,7 @@ import graft.dedup.Dedup
 import graft.functions.GraftExpressions._
 import graft.functions.SimHash
 import graft.sample.Sampling
-import graft.search.SimilaritySearch
+import graft.search.{ProductQuant, SimilaritySearch}
 import graft.text.{Pii, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -394,6 +394,38 @@ object SparkEntry {
         .select(lit(1).as("ok"))
       exact.crossJoin(broadcast(guard)).drop("ok")
     }),
+    "q_ann_pq" -> ((s, d) => {
+      // Product-quantization ADC+rerank with the q_ann_ivf gate shape:
+      // emitted rows are the EXACT squared-L2 top-k (DuckDB-replayable); the
+      // 1-row guard exists only while the PQ search (80-bit codes, ADC
+      // shortlist 50 → exact re-rank, the IVFADC+R scheme) recalls ≥
+      // AnnPqRecallFloor of them. Near-uniform random vectors are PQ's
+      // worst case (code distances quantize away the neighbor margins —
+      // raw ADC@10 measures 0.4-0.5 here, DrivePqRecall); the rerank path
+      // measures 1.0 / 0.9 at sf0.001 / sf0.01 (deterministic: seeded init
+      // on fixed data), so the 0.5 floor asserts the scheme with margin.
+      val q = (0 until 64).map(i => math.sin(i + 1)).toArray
+      val emb = t(s, d, "embeddings")
+      val cb = ProductQuant.train(s, emb, "vec_id", "embedding",
+        m = 16, ksub = 32, iters = 3)
+      val codes = ProductQuant.encode(emb, "vec_id", "embedding", cb)
+      val approx = ProductQuant.searchAdcRerank(codes, emb, "vec_id",
+        "embedding", cb, q, k = 10, shortlist = 50).select(col("id"))
+      val qLit = lit(q)
+      val exact = emb.select(col("vec_id").as("id"),
+          round(aggregate(
+            zip_with(col("embedding").cast("array<double>"), qLit,
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x), 6).as("l2sq"))
+        .orderBy(col("l2sq").asc, col("id").asc).limit(10)
+      val exactN = exact.agg(count(lit(1)).as("n_exact"))
+      val guard = exact.join(approx, Seq("id"), "left_semi")
+        .agg(count(lit(1)).cast("double").as("n_hit"))
+        .crossJoin(broadcast(exactN))
+        .filter(col("n_hit") / col("n_exact") >= AnnPqRecallFloor)
+        .select(lit(1).as("ok"))
+      exact.crossJoin(broadcast(guard)).drop("ok")
+    }),
     "q_ann_ivf_full" -> ((s, d) => { // nprobe = nlist ⇒ must equal exact top-k → oracled
       val q = (0 until 64).map(i => math.sin(i + 1)).toArray
       val idx = SimilaritySearch.buildIvf(s, t(s, d, "embeddings"),
@@ -441,6 +473,22 @@ object SparkEntry {
     }),
 
     // ---- training-data ops: text analysis --------------------------------
+    "q_html_extract" -> ((s, d) => { // boilerplate strip, fully oracled: the
+      // HTML is synthesized from documents.text with planted script/style/
+      // comment blocks, entities, and whitespace runs, so the oracle knows
+      // the exact extraction closed-form (doc text is clean of specials —
+      // verified — so the strip must return it verbatim plus the planted
+      // fragments)
+      val html = concat(
+        lit("<html><head><title> Doc "), col("doc_id"),
+        lit("  &amp; friends </title>"),
+        lit("<script>var x = \"<p>no</p>\";\nvar y = 2;</script>"),
+        lit("<style>p{color:red}</style></head><body><p>"), col("text"),
+        lit("</p> <b>A &lt;tag&gt;</b> <!-- dropped --> " +
+          "<a href=\"/n\">next</a> <a href=\"/p\">prev</a></body></html>"))
+      graft.text.HtmlExtract.extract(
+        t(s, d, "documents").withColumn("html", html), "html", Seq("doc_id"))
+    }),
     "q_text_stats" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
@@ -717,6 +765,11 @@ object SparkEntry {
     * deterministically; the floor leaves ≥ 0.2 margin everywhere).
     */
   val AnnIvfRecallFloor = 0.5
+
+  /** q_ann_pq guard floor — measured ADC recall@10 (deterministic per SF)
+    * is recorded next to the query; the floor sits under it with margin.
+    */
+  val AnnPqRecallFloor = 0.5
 
   /** q_url_blocklist entries — deliberately non-overlapping (no host
     * matches two), at three suffix depths: a whole registrable domain, one
@@ -1484,6 +1537,13 @@ object SparkEntry {
          CAST(16000 * (200 + (i % 8) * 100) / 1000 AS BIGINT) AS n_samples,
          round((0.20 + 0.05 * (i % 10)) / sqrt(2.0), 2) AS rms
          FROM range(400) t(i)""",
+    "q_ann_pq" ->
+      """WITH q AS (SELECT list_transform(range(1, 65), i -> sin(CAST(i AS DOUBLE))) AS qv)
+         SELECT vec_id AS id, round(list_sum(list_transform(range(1, 65), i ->
+           (CAST(embedding[i] AS DOUBLE) - qv[i]) *
+           (CAST(embedding[i] AS DOUBLE) - qv[i]))), 6) AS l2sq
+         FROM embeddings, q
+         ORDER BY l2sq ASC, id ASC LIMIT 10""",
     "q_ann_ivf" ->
       """WITH q AS (SELECT list_transform(range(1, 65), i -> sin(CAST(i AS DOUBLE))) AS qv)
          SELECT vec_id AS id, round(
@@ -1821,8 +1881,14 @@ object SparkEntry {
            WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
            ELSE 'zh' END AS lang_pred
          FROM scored""",
-    "q_text_stats" ->
+    "q_html_extract" ->
       """SELECT doc_id,
+           'Doc ' || doc_id || ' & friends' AS title,
+           trim(text) || ' A <tag> next prev' AS text,
+           2 AS n_links
+         FROM documents""",
+    "q_text_stats" ->
+"""SELECT doc_id,
          CASE WHEN len(trim(text)) = 0 THEN 0
            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
          len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))

@@ -40,7 +40,7 @@ object SimilaritySearch {
     * at 10^10 × 64 is a 10^12-row exchange for a centroid table that fits
     * in a hand.
     */
-  private final class VecMeanAgg(dim: Int)
+  private[search] final class VecMeanAgg(dim: Int)
       extends Aggregator[Array[Double], VecSum, Array[Double]] {
     override def zero: VecSum = VecSum(new Array[Double](dim), 0L)
     override def reduce(b: VecSum, v: Array[Double]): VecSum = {

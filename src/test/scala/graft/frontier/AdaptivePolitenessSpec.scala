@@ -61,6 +61,15 @@ class AdaptivePolitenessSpec extends AnyFunSuite {
     assert(pre === re)
   }
 
+  test("plan: ranking window and aggregate share one host-keyed Exchange") {
+    val plan = AdaptivePoliteness.ewmaLatency(log, "host", Seq("seq"), "latency_ms")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 host-keyed exchange, got $exchanges\n" +
+      plan.take(3000))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+  }
+
   test("composes into Scheduler: observed-slow host gets less capacity per round") {
     // slow host ewma 30 → delay 100 (clamped lo) vs glacial ewma 5000 →
     // delay 10000 → capacity floor(60000/10000) = 6 vs slow's budget-capped 8
