@@ -517,6 +517,19 @@ object SparkEntry {
         round(graft.text.Repetition.topRunFrac(
           graft.text.Repetition.wordBigrams(toksAll)), 6).as("top_bigram_frac"))
     }),
+    "q_line_dedup" -> ((s, d) => { // C4-style corpus-level line dedup:
+      // the fixture lineifies each doc (6-token chunks) and plants
+      // cross-doc template lines — one in every doc, one in every 3rd,
+      // one shared by each (id mod 97) cluster. The oracle recomputes the
+      // distinct-doc census on line STRINGS, so the engine's xxhash64
+      // census key is collision-checked, and verifies the cleaned text,
+      // kept/dropped counts, and line order per doc.
+      val withLines = lineDedupFixtureLines(t(s, d, "documents"))
+      graft.text.LineDedup.dropCommonLines(withLines, "doc_id", "lines",
+          LineDedupMinDf)
+        .select(col("id").as("doc_id"), col("text_clean"),
+          col("n_kept"), col("n_dropped"))
+    }),
     "q_fingerprint_dups" -> ((s, d) => // copied-span near-dups: shared
       // winnow fingerprints — index, bucket cap, AND pair counts all replay
       // in the same BIGINT arithmetic as q_fingerprint's oracle
@@ -791,6 +804,18 @@ object SparkEntry {
   val DecontamN = 8
   val DecontamMinHits = 3L
 
+  /** q_line_dedup drop threshold: a line in ≥ 30 distinct docs is
+    * template. On the fixture the planted copyright (every doc) and
+    * newsletter (every 3rd doc) lines cross it at every SF (df = N and
+    * N/3 over N ≥ 500 docs — dropped), the "cluster line (id mod 97)"
+    * plant sits below it at the 500-doc SFs (df ≈ 5, kept) and above at
+    * sf0.1's 5000 docs (df ≈ 51, dropped), and content chunks are df ≈ 1
+    * (kept) — both threshold branches do real work and the oracle
+    * recomputes the census itself, so any regime is checked wherever the
+    * driver runs it.
+    */
+  val LineDedupMinDf = 30L
+
   /** Shared-fingerprint floor for q_fingerprint_dups: low enough that the
     * corpus's near-dup pairs (the minhash twins) surface, high enough that
     * a single coincidentally-shared 8-gram doesn't pair two documents.
@@ -831,6 +856,28 @@ object SparkEntry {
         when(col("doc_id") % 4 === 0,
           array(element_at(chunks, 1), element_at(chunks, 1)))
           .otherwise(array().cast("array<string>"))).as("lines"))
+  }
+
+  /** The q_line_dedup fixture: the document's 6-token chunk lines (the
+    * q_repetition lineification) plus three planted template lines — the
+    * copyright line in EVERY doc, the newsletter line in every 3rd, and a
+    * per-(id mod 97)-cluster line. Emits (doc_id, lines); the oracle
+    * rebuilds the identical arrays, so the match verifies the DEDUP, not
+    * the fixture.
+    */
+  private def lineDedupFixtureLines(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val nch = floor((size(toks) + lit(5)) / lit(6.0)).cast("int")
+    val chunks = transform(sequence(lit(0), nch - 1),
+      j => array_join(slice(toks, j * 6 + lit(1), lit(6)), " "))
+    docs.select(col("doc_id"),
+      concat(chunks,
+        array(lit("copyright example corp all rights reserved")),
+        when(col("doc_id") % 3 === 0,
+          array(lit("subscribe to our newsletter today")))
+          .otherwise(array().cast("array<string>")),
+        array(concat(lit("cluster line "),
+          (col("doc_id") % 97).cast("string")))).as("lines"))
   }
 
   /** The q_pagerank link graph: every document emits exactly 3 out-links,
@@ -1317,6 +1364,42 @@ object SparkEntry {
       GROUP BY g.doc_id HAVING count(DISTINCT g.gram) >= $DecontamMinHits"""
   }
 
+  /** q_line_dedup oracle: rebuild the same lineification + template
+    * plants, then recompute the dedup RELATIONALLY on the line strings —
+    * distinct-doc census, sharp ≥ threshold, anti-join, ordered
+    * string_agg rebuild — deliberately never touching the engine's
+    * xxhash64 key (a collision that changed any count or drop decision
+    * would mismatch).
+    */
+  private def lineDedupOracleSql: String =
+    s"""WITH tok AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+      ch AS (SELECT doc_id, list_transform(range(0, (len(t)+5)//6),
+          j -> array_to_string(t[j*6+1:j*6+6], ' ')) AS c FROM tok),
+      ln AS (SELECT doc_id, list_concat(list_concat(list_append(c,
+          'copyright example corp all rights reserved'),
+          CASE WHEN doc_id % 3 = 0
+            THEN ['subscribe to our newsletter today']
+            ELSE CAST([] AS VARCHAR[]) END),
+          ['cluster line ' || CAST(doc_id % 97 AS VARCHAR)]) AS lines
+        FROM ch),
+      ex AS (SELECT doc_id, unnest(lines) AS line,
+          unnest(range(1, len(lines)+1)) AS pos FROM ln),
+      nrm AS (SELECT doc_id, pos, line,
+          trim(regexp_replace(lower(line), '\\s+', ' ', 'g')) AS nl FROM ex),
+      com AS (SELECT nl FROM nrm GROUP BY nl
+          HAVING count(DISTINCT doc_id) >= $LineDedupMinDf),
+      kept AS (SELECT n.doc_id, n.pos, n.line FROM nrm n
+          ANTI JOIN com c ON n.nl = c.nl),
+      tot AS (SELECT doc_id, count(*) AS n_total FROM nrm GROUP BY doc_id),
+      agg AS (SELECT doc_id, count(*) AS n_kept,
+          string_agg(line, chr(10) ORDER BY pos) AS text_clean
+        FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        coalesce(a.n_kept, 0) AS n_kept,
+        t.n_total - coalesce(a.n_kept, 0) AS n_dropped
+      FROM tot t LEFT JOIN agg a USING (doc_id)"""
+
   /** q_repetition oracle: rebuild the same 6-token lineification + planted
     * duplicates, then recompute all three metrics — the list-lambda forms
     * for the line fractions, and the top-bigram count RELATIONALLY
@@ -1447,6 +1530,7 @@ object SparkEntry {
     "q_gif_frames" -> gifFramesOracleSql,
     "q_decontaminate" -> decontaminateOracleSql,
     "q_repetition" -> repetitionOracleSql,
+    "q_line_dedup" -> lineDedupOracleSql,
     "q_url_blocklist" ->
       """WITH u AS (SELECT doc_id,
            'sub' || (doc_id % 3) || '.host' || (doc_id % 23) ||
