@@ -4,7 +4,7 @@ import graft.dedup.Dedup
 import graft.functions.GraftExpressions._
 import graft.functions.SimHash
 import graft.sample.Sampling
-import graft.search.{ProductQuant, SimilaritySearch}
+import graft.search.{IvfPq, ProductQuant, SimilaritySearch}
 import graft.text.{Pii, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -411,6 +411,37 @@ object SparkEntry {
       val codes = ProductQuant.encode(emb, "vec_id", "embedding", cb)
       val approx = ProductQuant.searchAdcRerank(codes, emb, "vec_id",
         "embedding", cb, q, k = 10, shortlist = 50).select(col("id"))
+      val qLit = lit(q)
+      val exact = emb.select(col("vec_id").as("id"),
+          round(aggregate(
+            zip_with(col("embedding").cast("array<double>"), qLit,
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x), 6).as("l2sq"))
+        .orderBy(col("l2sq").asc, col("id").asc).limit(10)
+      val exactN = exact.agg(count(lit(1)).as("n_exact"))
+      val guard = exact.join(approx, Seq("id"), "left_semi")
+        .agg(count(lit(1)).cast("double").as("n_hit"))
+        .crossJoin(broadcast(exactN))
+        .filter(col("n_hit") / col("n_exact") >= AnnPqRecallFloor)
+        .select(lit(1).as("ok"))
+      exact.crossJoin(broadcast(guard)).drop("ok")
+    }),
+    "q_ann_ivfpq" -> ((s, d) => {
+      // IVFADC — the full composition (probe-pruned scan × residual-PQ
+      // codes × exact re-rank), gated like q_ann_pq: emitted rows are the
+      // EXACT squared-L2 top-k; the 1-row guard exists only while the
+      // nprobe=8-of-16 IVFADC search (m=16, ksub=32 residual codes,
+      // shortlist 50) recalls ≥ AnnPqRecallFloor of them. Measured
+      // (DrivePqRecall, deterministic: seeded init on fixed data):
+      // 0.70 / 0.90 at sf0.001 / sf0.01 — probe pruning costs recall on
+      // near-uniform vectors exactly as q_ann_ivf documents, and the
+      // floor asserts the composed scheme with margin.
+      val q = (0 until 64).map(i => math.sin(i + 1)).toArray
+      val emb = t(s, d, "embeddings")
+      val idx = IvfPq.build(s, emb, "vec_id", "embedding",
+        nlist = 16, m = 16, ksub = 32, iters = 3)
+      val approx = IvfPq.search(idx, emb, "vec_id", "embedding", q,
+        k = 10, nprobe = 8, shortlist = 50).select(col("id"))
       val qLit = lit(q)
       val exact = emb.select(col("vec_id").as("id"),
           round(aggregate(
@@ -1622,6 +1653,13 @@ object SparkEntry {
          round((0.20 + 0.05 * (i % 10)) / sqrt(2.0), 2) AS rms
          FROM range(400) t(i)""",
     "q_ann_pq" ->
+      """WITH q AS (SELECT list_transform(range(1, 65), i -> sin(CAST(i AS DOUBLE))) AS qv)
+         SELECT vec_id AS id, round(list_sum(list_transform(range(1, 65), i ->
+           (CAST(embedding[i] AS DOUBLE) - qv[i]) *
+           (CAST(embedding[i] AS DOUBLE) - qv[i]))), 6) AS l2sq
+         FROM embeddings, q
+         ORDER BY l2sq ASC, id ASC LIMIT 10""",
+    "q_ann_ivfpq" ->
       """WITH q AS (SELECT list_transform(range(1, 65), i -> sin(CAST(i AS DOUBLE))) AS qv)
          SELECT vec_id AS id, round(list_sum(list_transform(range(1, 65), i ->
            (CAST(embedding[i] AS DOUBLE) - qv[i]) *

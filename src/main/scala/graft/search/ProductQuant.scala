@@ -100,14 +100,17 @@ object ProductQuant {
     PqCodebook(m, ksub, dsub, cb)
   }
 
-  /** Encode every vector to its m codes — a pure projection. */
+  /** Encode every vector to its m codes — a pure projection. `keep` names
+    * extra columns to carry through (e.g. the IVF cell id).
+    */
   def encode(df: DataFrame, idCol: String, vecCol: String,
-      cb: PqCodebook): DataFrame =
-    df.select(col(idCol).cast("long").as("id"),
+      cb: PqCodebook, keep: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol).cast("long").as("id") +:
+      keep.map(col) :+
       array((0 until cb.m).map { j =>
         argminCode(sliceOf(col(vecCol).cast("array<double>"), j, cb.dsub),
           cb.codebook(j))
-      }: _*).as("codes"))
+      }: _*).as("codes"): _*)
 
   /** The query's asymmetric distance table, flat: dt(j·ksub + code) =
     * ‖q_j − centroid(j)(code)‖². Driver-side — it is m×ksub doubles of

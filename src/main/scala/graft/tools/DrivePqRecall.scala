@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.search.ProductQuant
+import graft.search.{IvfPq, ProductQuant}
 import org.apache.spark.sql.functions._
 
 /** Measures q_ann_pq's ADC recall@10 vs exact squared-L2 on the driver
@@ -35,6 +35,17 @@ object DrivePqRecall {
         val rr = (exact intersect reranked).size / 10.0
         println(f"PQRECALL $sf m=$m%2d ksub=$ksub%2d recall@10=$recall%.2f " +
           f"rerank50@10=$rr%.2f")
+      }
+      // IVFADC: probe-pruned scan + residual-PQ ADC + exact re-rank
+      val idx = IvfPq.build(spark, emb, "vec_id", "embedding",
+        nlist = 16, m = 16, ksub = 32, iters = 3)
+      for (nprobe <- Seq(4, 8, 16)) {
+        val got = IvfPq.search(idx, emb, "vec_id", "embedding", q,
+            k = 10, nprobe = nprobe, shortlist = 50)
+          .select("id").as[Long](spark.implicits.newLongEncoder).collect().toSet
+        val rc = (exact intersect got).size / 10.0
+        println(f"IVFPQRECALL $sf nlist=16 m=16 ksub=32 nprobe=$nprobe%2d " +
+          f"rerank50@10=$rc%.2f")
       }
     }
     spark.stop()
