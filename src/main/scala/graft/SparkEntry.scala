@@ -1,6 +1,6 @@
 package graft
 
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, SemDedup}
 import graft.functions.GraftExpressions._
 import graft.functions.SimHash
 import graft.sample.Sampling
@@ -349,6 +349,25 @@ object SparkEntry {
         .withColumn("cos_raw", Dedup.cosine(col("v1"), col("v2")))
         .filter(col("cos_raw") >= 0.35)
         .select(col("id1"), col("id2"), round(col("cos_raw"), 4).as("cosine"))
+    }),
+    "q_semdedup" -> ((s, d) => {
+      // SemDeDup (cluster-then-within-cluster prune) with a CLOSED-FORM
+      // oracle: plant an exact twin (+1e6, cosine 1.0) for every vec_id < 30,
+      // run the semantic path at cosine 0.95, keep one representative per
+      // cluster. Identical vectors land in the same k-means cell by
+      // construction and no natural pair on this table reaches 0.95 (the
+      // q_embed_neardups measurement), so the survivor set is EXACTLY the
+      // original vec_ids — `SELECT vec_id FROM embeddings`. The row goes red
+      // if the semantic path misses any twin (a +1e6 id survives → extra
+      // row) or emits a false ≥0.95 pair (a base id gets dropped → short).
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val twins = e.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val aug = e.unionByName(twins)
+      SemDedup.semanticSurvivors(s, aug, "vec_id", "embedding",
+          nlist = 16, iters = 2, minCosine = 0.95)
+        .select("vec_id")
     }),
 
     // ---- training-data ops: similarity search ----------------------------
@@ -1957,6 +1976,8 @@ object SparkEntry {
                 list_sum(list_transform(qv, x -> x * x))), 6) AS cosine
          FROM embeddings, q
          ORDER BY cosine DESC, id ASC LIMIT 10""",
+    "q_semdedup" ->
+      "SELECT vec_id FROM embeddings",
     "q_embed_neardups_exact" ->
       """WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
