@@ -630,6 +630,15 @@ object SparkEntry {
         .select(col("image_id"), col("w"), col("h"), col("fmt"),
           col("decode_ok").cast("int").as("decode_ok"))
     }),
+    "q_image_buckets" -> ((s, d) => {
+      // SDXL-style aspect bucketing over REAL decoded dims; fully oracled:
+      // DuckDB recomputes (w, h) closed-form from the id (the q_image_meta
+      // chain) and replays the nearest-log-aspect rule over the same ladder
+      // — a decode or argmin regression hash-mismatches
+      val images = graft.fixtures.ImageGen.generate(s, 200).toDF()
+      val meta = graft.multimodal.Multimodal.decodeMeta(s, images).toDF()
+      graft.multimodal.Multimodal.bucketImages(meta)
+    }),
     "q_image_gate" -> ((s, d) => {
       // LAION-style admission gate, fully oracled: REAL decode supplies
       // (w, h, decode_ok) that DuckDB recomputes from the id; captions are
@@ -1308,6 +1317,25 @@ object SparkEntry {
          WHERE cc.lab < e.b)"""
 
   /** q_image_meta oracle: ImageGen dims/fmt replayed from the id alone. */
+  /** q_image_buckets: dims replayed closed-form from the id, then the same
+    * nearest-log-aspect argmin over the same ladder, first-wins tie order
+    * reproduced by the (dist, bw) sort (the ladder is bw-ascending). Margins
+    * between best and second-best distance on this dim lattice are ≥ 0.037
+    * in ln-space — float divergence between engines cannot flip the argmin.
+    */
+  private def imageBucketsOracleSql: String =
+    s"""WITH ${mix64ChainSql(200, Seq(1L -> "wa", 2L -> "hb"))},
+      dims AS (SELECT 'img' || format('{:010d}', i::BIGINT) AS image_id,
+        CAST(32 + ${sMod("wa", 4)} * 32 AS INTEGER) AS w,
+        CAST(32 + ${sMod("hb", 4)} * 32 AS INTEGER) AS h FROM mx),
+      buckets(bw, bh) AS (VALUES (128,512),(192,320),(224,288),(256,256),
+        (288,224),(320,192),(512,128)),
+      scored AS (SELECT image_id, bw, bh,
+        row_number() OVER (PARTITION BY image_id
+          ORDER BY abs(ln(w::DOUBLE / h) - ln(bw::DOUBLE / bh)), bw) AS rn
+        FROM dims, buckets)
+      SELECT image_id, bw AS bucket_w, bh AS bucket_h FROM scored WHERE rn = 1"""
+
   private def imageMetaOracleSql: String =
     s"""WITH ${mix64ChainSql(200, Seq(1L -> "wa", 2L -> "hb"))}
       SELECT 'img' || format('{:010d}', i::BIGINT) AS image_id,
@@ -1662,6 +1690,7 @@ object SparkEntry {
     "q_simhash_neardups" -> simhashOracleSql,
     "q_fingerprint" -> fingerprintOracleSql,
     "q_image_meta" -> imageMetaOracleSql,
+    "q_image_buckets" -> imageBucketsOracleSql,
     "q_image_gate" -> imageGateOracleSql,
     "q_image_features" -> imageFeaturesOracleSql,
     "q_video_frames" -> videoFramesOracleSql,

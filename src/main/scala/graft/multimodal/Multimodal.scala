@@ -2,7 +2,7 @@ package graft.multimodal
 
 import graft.validate.ImageValidate
 import java.awt.image.BufferedImage
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
@@ -483,5 +483,51 @@ object Multimodal {
           Frame(id, i, ts, fake)
         }
       })
+  }
+
+  /** Default aspect-ratio ladder for [[bucketImages]]: seven (w, h) shapes
+    * at a ~256² pixel budget spanning aspect 0.25–4.0 — the SDXL-style
+    * bucket set scaled down (the production ladder at 1024² is the same
+    * shape ×4). Ordered by ascending width; ties in [[aspectBucket]] break
+    * to the EARLIER entry, so the order is part of the contract.
+    */
+  val DefaultAspectLadder: Seq[(Int, Int)] =
+    Seq((128, 512), (192, 320), (224, 288), (256, 256),
+      (288, 224), (320, 192), (512, 128))
+
+  /** Aspect-ratio bucket assignment (the training-batch composition step:
+    * variable-shape images batch only with same-shape peers, so every image
+    * maps to the ladder shape nearest its aspect in LOG space — log distance
+    * treats 2:1 and 1:2 symmetrically, plain ratio distance does not).
+    * Pure per-row argmin over a ladder literal — the [[graft.search.SimilaritySearch]]
+    * cell-assignment shape: no join, no shuffle, codegen'd; at 10^10 rows
+    * this is scan speed. Returns struct(bw, bh); first minimum wins on ties.
+    */
+  def aspectBucket(w: Column, h: Column,
+      ladder: Seq[(Int, Int)] = DefaultAspectLadder): Column = {
+    val lad = array(ladder.map { case (bw, bh) =>
+      struct(lit(bw).as("bw"), lit(bh).as("bh"),
+        lit(math.log(bw.toDouble / bh.toDouble)).as("la"))
+    }: _*)
+    val la = log(w.cast("double") / h.cast("double"))
+    aggregate(lad,
+      struct(lit(Double.MaxValue).as("d"), lit(0).as("bw"), lit(0).as("bh")),
+      (acc, b) => {
+        val d = abs(la - b.getField("la"))
+        when(d < acc.getField("d"),
+          struct(d.as("d"), b.getField("bw").as("bw"), b.getField("bh").as("bh")))
+          .otherwise(acc)
+      })
+  }
+
+  /** (image_id, bucket_w, bucket_h) over a decoded-meta frame — the batch
+    * key a shape-bucketed training loader groups on. Census per bucket is a
+    * plain groupBy downstream.
+    */
+  def bucketImages(meta: DataFrame,
+      ladder: Seq[(Int, Int)] = DefaultAspectLadder): DataFrame = {
+    val b = aspectBucket(col("w"), col("h"), ladder)
+    meta.select(col("image_id"), b.getField("bw").as("bucket_w"),
+      b.getField("bh").as("bucket_h"))
   }
 }
