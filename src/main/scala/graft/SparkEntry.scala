@@ -291,6 +291,25 @@ object SparkEntry {
       agg.filter(abs(col("n_approx") - col("n_exact")) <= col("n_exact") * 0.1)
         .select(col("user_id"), col("n_exact"))
     }),
+    "q_len_quantiles" -> ((s, d) => { // sketch-gated quantiles: the
+      // q_host_cardinality move for DISTRIBUTIONS — emits the exact per-lang
+      // length percentiles only while the approx-percentile sketch (the
+      // GK-family algorithm a 100 TB corpus profile actually runs) lands
+      // within 10% of each; a sketch regression drops rows → oracle red.
+      // Exact side = percentile_cont semantics, replayed by DuckDB
+      // quantile_cont (same (n−1)·p linear interpolation).
+      val agg = t(s, d, "documents").groupBy(col("lang"))
+        .agg(
+          expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("ex"),
+          expr("percentile_approx(n_chars, array(0.5D, 0.9D, 0.99D), 1000)").as("ap"))
+      val within = (1 to 3).map(i =>
+        abs(element_at(col("ap"), i).cast("double") - element_at(col("ex"), i)) <=
+          element_at(col("ex"), i) * 0.1).reduce(_ && _)
+      agg.filter(within).select(col("lang"),
+        round(element_at(col("ex"), 1), 2).as("p50"),
+        round(element_at(col("ex"), 2), 2).as("p90"),
+        round(element_at(col("ex"), 3), 2).as("p99"))
+    }),
 
     // ---- training-data ops: dedup -----------------------------------------
     "q_dedup_exact" -> ((s, d) =>
@@ -1676,6 +1695,15 @@ object SparkEntry {
            CAST(n_urls >= 100 AND CAST(n_content AS DOUBLE) <= n_urls * 0.1
              AS INT) AS is_trap
          FROM t""",
+    "q_len_quantiles" ->
+      // exact side only (quantile_cont ≡ Spark percentile interpolation);
+      // the Spark rows are gated on the approx sketch being within 10%, so
+      // a sketch regression surfaces as missing rows against this census
+      """SELECT lang,
+           round(quantile_cont(n_chars, 0.5), 2) AS p50,
+           round(quantile_cont(n_chars, 0.9), 2) AS p90,
+           round(quantile_cont(n_chars, 0.99), 2) AS p99
+         FROM documents GROUP BY lang""",
     "q_host_cardinality" ->
       // exact side only: the Spark query emits (user_id, n_exact) gated on
       // its HLL++ estimate being within 10%, so a sketch regression surfaces
