@@ -840,6 +840,25 @@ object SparkEntry {
     }),
 
     // ---- the crawl engine end-to-end (rows-only: pinned by CrawlParitySpec)
+    "q_compress_ratio" -> ((s, d) => {
+      // Gopher/CCNet compression-ratio repetition filter, oracled in
+      // CLOSED FORM: a synthesized corpus where even ids are a phrase
+      // repeated 40× (deflate ratio ~0.03) and odd ids are 1 KB of hex
+      // gibberish (ratio ≥ 0.5 — 4 bits/char entropy floors deflate at
+      // 0.5); the 0.35 flag threshold has ≥ 0.15 margin on BOTH sides,
+      // so the oracle is just `i % 2` — a deflate-plumbing regression
+      // (wrong lengths, charset, reset handling) flips flags → red
+      import s.implicits._
+      val docs = (0L until 60L).map { i =>
+        val text =
+          if (i % 2 == 0) "the quick brown fox jumps over the lazy dog " * 40
+          else (0 until 64)
+            .map(j => f"${graft.functions.GraftHash.mix64(i * 131 + j)}%016x")
+            .mkString(" ")
+        (i, text)
+      }.toDF("doc_id", "text")
+      graft.text.CompressionRatio.repetitiveFlags(s, docs, "doc_id", "text")
+    }),
     "q_crawl_emits" -> ((s, d) => {
       val cfg = graft.fixtures.WebConfig(numSeeds = 30, rounds = 3)
       val state = java.nio.file.Files.createTempDirectory("q-crawl-state").toString
@@ -1909,6 +1928,12 @@ object SparkEntry {
            ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.id < b.id
          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
            len(list_distinct(list_concat(a.toks, b.toks))) >= 0.55""",
+    "q_compress_ratio" ->
+      // closed form: flag class is i % 2 by construction (see the query's
+      // margin note); the deflate machinery is what's under test
+      """SELECT i::BIGINT AS doc_id,
+           CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS is_repetitive
+         FROM range(60) t(i)""",
     "q_crawl_emits" ->
       // GOLDEN oracle (the block-18721004 move applied to the crawl):
       // the 3-round crawl of the seeded fixture is fully deterministic
