@@ -622,6 +622,31 @@ object SparkEntry {
       // oracle reconstructs every (kind, loc, lastmod) row without parsing
       graft.frontier.Sitemap.parse(
         sitemapFixtureXml(t(s, d, "documents")), "xml", Seq("doc_id"))),
+    "q_robots_sitemaps" -> ((s, d) => { // Sitemap: directive discovery from
+      // robots.txt bodies synthesized closed-form per doc_id: every doc
+      // advertises one sitemap (doc_id%3==0 with a trailing comment to
+      // strip), doc_id%7==0 adds a case/whitespace-variant second line,
+      // doc_id%5==0 plants a FULL-LINE-COMMENTED directive that must NOT
+      // extract — the oracle reconstructs the exact surviving URL set
+      val robots = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          lit("# synthetic robots fixture"),
+          lit("User-agent: *"),
+          lit("Disallow: /private"),
+          concat(lit("Sitemap: https://h"), col("doc_id"),
+            lit(".example.com/sitemap"), pmod(col("doc_id"), lit(4)),
+            lit(".xml"),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit(" # nightly"))
+              .otherwise(lit(""))),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit("  sitemap : https://alt"), col("doc_id"),
+              lit(".example.org/s.xml")))
+            .otherwise(lit("Crawl-delay: 2")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit("# Sitemap: https://commented.example.com/never.xml"))
+            .otherwise(lit(""))).as("body"))
+      graft.frontier.Sitemap.fromRobots(robots, "body", Seq("doc_id"))
+    }),
     "q_anchor_text" -> ((s, d) => // per-target top-3 anchor texts over the
       // q_pagerank link graph with planted case/whitespace anchor variants
       // — normalization, counts, and the rank cut all replay in DuckDB
@@ -1642,6 +1667,17 @@ object SparkEntry {
     "q_lm_quality" -> lmQualityOracleSql,
     "q_tfidf" -> tfidfOracleSql,
     "q_sitemap" -> sitemapOracleSql,
+    "q_robots_sitemaps" ->
+      // closed-form reconstruction: one primary URL per doc (trailing
+      // comment stripped), plus the variant-key line where doc_id%7=0;
+      // the full-line-commented plant never appears
+      """WITH ids AS (SELECT doc_id FROM documents),
+           prim AS (SELECT doc_id, 'https://h' || doc_id ||
+             '.example.com/sitemap' || (doc_id % 4) || '.xml' AS sitemap_url
+             FROM ids),
+           alt AS (SELECT doc_id, 'https://alt' || doc_id ||
+             '.example.org/s.xml' AS sitemap_url FROM ids WHERE doc_id % 7 = 0)
+         SELECT * FROM prim UNION ALL SELECT * FROM alt""",
     "q_anchor_text" -> anchorTextOracleSql,
     "q_gif_frames" -> gifFramesOracleSql,
     "q_decontaminate" -> decontaminateOracleSql,

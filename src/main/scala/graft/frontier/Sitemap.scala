@@ -43,6 +43,25 @@ object Sitemap {
       .filter(length(col("loc")) > 0)
   }
 
+  /** `Sitemap:` directives from fetched robots.txt bodies — the OTHER
+    * discovery edge of the protocol (robots.txt advertises the sitemaps;
+    * [[parse]] then expands them). Per sitemaps.org the directive is
+    * GLOBAL (independent of user-agent groups), the key case-insensitive,
+    * the value an absolute URL; `#` starts a comment (full-line comments
+    * are skipped, trailing comments stripped — sitemap URLs carry no
+    * fragment in practice, which the protocol's absolute-URL examples
+    * reflect). One codegen `regexp_extract_all` + explode — the same
+    * scan-speed shape as [[parse]], no UDF, no driver work; this stays
+    * columnar precisely so a 10^8-host robots table is one pass.
+    */
+  def fromRobots(df: DataFrame, textCol: String, idCols: Seq[String]): DataFrame = {
+    val urls = regexp_extract_all(col(textCol),
+      lit("(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*([^#\\r\\n]+)"), lit(1))
+    df.select(idCols.map(col) :+ explode(urls).as("sitemap_url"): _*)
+      .withColumn("sitemap_url", trim(col("sitemap_url")))
+      .filter(length(col("sitemap_url")) > 0)
+  }
+
   /** The five predefined XML entities, `&amp;` last so `&amp;lt;` decodes
     * to the literal `&lt;` (double-escape safety), matching every
     * conformant serializer's inverse.

@@ -47,4 +47,32 @@ class SitemapSpec extends AnyFunSuite {
     assert(parse("<html><body>not a sitemap</body></html>").isEmpty)
     assert(parse("").isEmpty)
   }
+
+  private def fromRobots(body: String) =
+    Sitemap.fromRobots(Seq((1L, body)).toDF("id", "body"), "body", Seq("id"))
+      .as[(Long, String)].collect().toSeq
+
+  test("robots Sitemap: directives — key case/whitespace variants, order kept") {
+    val body = Seq(
+      "User-agent: *",
+      "Disallow: /x",
+      "Sitemap: https://ex.com/a.xml",
+      "  sitemap : https://ex.com/b.xml",
+      "SITEMAP:https://ex.com/c.xml").mkString("\n")
+    assert(fromRobots(body).map(_._2) === Seq(
+      "https://ex.com/a.xml", "https://ex.com/b.xml", "https://ex.com/c.xml"))
+  }
+
+  test("robots sitemap comments: full-line skipped, trailing stripped") {
+    val body = Seq(
+      "# Sitemap: https://ex.com/commented.xml",
+      "Sitemap: https://ex.com/real.xml # refreshed nightly",
+      "Sitemap:   ").mkString("\n")
+    assert(fromRobots(body) === Seq((1L, "https://ex.com/real.xml")))
+  }
+
+  test("robots with no directives yields no rows; null-safe") {
+    assert(fromRobots("User-agent: *\nDisallow:").isEmpty)
+    assert(fromRobots("").isEmpty)
+  }
 }
