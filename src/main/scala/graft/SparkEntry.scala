@@ -622,6 +622,18 @@ object SparkEntry {
       // oracle reconstructs every (kind, loc, lastmod) row without parsing
       graft.frontier.Sitemap.parse(
         sitemapFixtureXml(t(s, d, "documents")), "xml", Seq("doc_id"))),
+    "q_nfc_norm" -> ((s, d) => { // Unicode NFC canonical composition (the
+      // graft.functions.NfcNormalize codegen expression) over planted
+      // DECOMPOSED sequences — "cafe"+U+0301, "no"+U+0308 — which every
+      // web corpus contains both ways; DuckDB's nfc_normalize replays the
+      // composition, `changed` pins that composition really happened and
+      // n_chars_norm that the combining marks merged (2 code points → 1)
+      val raw = concat(lit("cafe\u0301 no\u0308el #"), col("doc_id"))
+      t(s, d, "documents").select(col("doc_id"),
+        nfc_normalize(raw).as("norm"),
+        (nfc_normalize(raw) =!= raw).cast("int").as("changed"),
+        length(nfc_normalize(raw)).cast("long").as("n_chars_norm"))
+    }),
     "q_robots_sitemaps" -> ((s, d) => { // Sitemap: directive discovery from
       // robots.txt bodies synthesized closed-form per doc_id: every doc
       // advertises one sitemap (doc_id%3==0 with a trailing comment to
@@ -1667,6 +1679,17 @@ object SparkEntry {
     "q_lm_quality" -> lmQualityOracleSql,
     "q_tfidf" -> tfidfOracleSql,
     "q_sitemap" -> sitemapOracleSql,
+    "q_nfc_norm" ->
+      // chr(769)/chr(776) are the combining acute/diaeresis the query
+      // plants; nfc_normalize is DuckDB's own NFC implementation — two
+      // independent Unicode libraries must agree on the composed form
+      """SELECT doc_id,
+           nfc_normalize('cafe' || chr(769) || ' no' || chr(776) ||
+             'el #' || doc_id) AS norm,
+           1 AS changed,
+           length(nfc_normalize('cafe' || chr(769) || ' no' || chr(776) ||
+             'el #' || doc_id)) AS n_chars_norm
+         FROM documents""",
     "q_robots_sitemaps" ->
       // closed-form reconstruction: one primary URL per doc (trailing
       // comment stripped), plus the variant-key line where doc_id%7=0;

@@ -108,6 +108,21 @@ object GraftExpressions {
     override def prettyName: String = "url_path"
   }
 
+  /** Unicode NFC normalization ([[TextNorm]] — canonical composition only;
+    * see there for the NFC-vs-NFKC policy). Codegen'd static call with an
+    * allocation-free fast path for already-normalized text.
+    */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(v: Any): Any =
+      TextNorm.nfcU(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextNorm.nfcU($c)")
+    override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+    override def prettyName: String = "nfc_normalize"
+  }
+
   // ---- Column-level API -------------------------------------------------
 
   private def expr(c: Column): Expression = Bridge.expression(c)
@@ -120,6 +135,7 @@ object GraftExpressions {
   def url_host(c: Column): Column = col(UrlHost(expr(c)))
   def url_path(c: Column): Column = col(UrlPath(expr(c)))
   def mix64_salted(c: Column, salt: Long): Column = col(Mix64Salted(expr(c), salt))
+  def nfc_normalize(c: Column): Column = col(NfcNormalize(expr(c)))
 
   /** Register all graft scalar functions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -130,5 +146,6 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("canonicalize_url", es => CanonicalizeUrl(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("url_host", es => UrlHost(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("url_path", es => UrlPath(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize", es => NfcNormalize(es.head), "scala_udf")
   }
 }
