@@ -622,6 +622,28 @@ object SparkEntry {
       // oracle reconstructs every (kind, loc, lastmod) row without parsing
       graft.frontier.Sitemap.parse(
         sitemapFixtureXml(t(s, d, "documents")), "xml", Seq("doc_id"))),
+    "q_warc_records" -> ((s, d) => {
+      // WARC framing round-trip, oracled closed-form: every doc becomes a
+      // two-record archive blob (warcinfo + response whose payload is the
+      // doc text, Content-Length in UTF-8 OCTETS — octet_length, not
+      // length, or every multibyte zh doc desyncs), parsed back by
+      // WarcIngest; the oracle reconstructs type/uri/length/md5 without
+      // parsing, so any framing off-by-one mis-hashes a payload → red
+      val meta = concat(lit("graft-warcinfo "), col("doc_id"))
+      val blob = concat(
+        lit("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+          "WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+        length(meta), lit("\r\n\r\n"), meta, lit("\r\n\r\n"),
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://h"),
+        col("doc_id"), lit(".example.com/page\r\nContent-Length: "),
+        octet_length(col("text")), lit("\r\n\r\n"), col("text"),
+        lit("\r\n\r\n"))
+      val blobs = t(s, d, "documents").select(col("doc_id"), blob.as("blob"))
+      graft.ingest.WarcIngest.parseRecords(s, blobs, "doc_id", "blob").toDF()
+        .select(col("doc_id"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("content_length"),
+          md5(col("payload").cast("binary")).as("payload_md5"))
+    }),
     "q_nfc_norm" -> ((s, d) => { // Unicode NFC canonical composition (the
       // graft.functions.NfcNormalize codegen expression) over planted
       // DECOMPOSED sequences — "cafe"+U+0301, "no"+U+0308 — which every
@@ -1679,6 +1701,18 @@ object SparkEntry {
     "q_lm_quality" -> lmQualityOracleSql,
     "q_tfidf" -> tfidfOracleSql,
     "q_sitemap" -> sitemapOracleSql,
+    "q_warc_records" ->
+      // closed-form reconstruction — strlen is DuckDB's BYTE length,
+      // matching the WARC octet contract; md5 over the same UTF-8 bytes
+      """WITH base AS (SELECT doc_id, text FROM documents)
+         SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+           CAST(NULL AS VARCHAR) AS target_uri,
+           strlen('graft-warcinfo ' || doc_id) AS content_length,
+           md5('graft-warcinfo ' || doc_id) AS payload_md5 FROM base
+         UNION ALL
+         SELECT doc_id, 1, 'response',
+           'https://h' || doc_id || '.example.com/page',
+           strlen(text), md5(text) FROM base""",
     "q_nfc_norm" ->
       // chr(769)/chr(776) are the combining acute/diaeresis the query
       // plants; nfc_normalize is DuckDB's own NFC implementation — two
