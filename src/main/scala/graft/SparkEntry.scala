@@ -629,20 +629,27 @@ object SparkEntry {
       // length, or every multibyte zh doc desyncs), parsed back by
       // WarcIngest; the oracle reconstructs type/uri/length/md5 without
       // parsing, so any framing off-by-one mis-hashes a payload → red
-      val meta = concat(lit("graft-warcinfo "), col("doc_id"))
-      val blob = concat(
-        lit("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
-          "WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
-        length(meta), lit("\r\n\r\n"), meta, lit("\r\n\r\n"),
-        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://h"),
-        col("doc_id"), lit(".example.com/page\r\nContent-Length: "),
-        octet_length(col("text")), lit("\r\n\r\n"), col("text"),
-        lit("\r\n\r\n"))
-      val blobs = t(s, d, "documents").select(col("doc_id"), blob.as("blob"))
+      val blobs = warcFixtureRecords(t(s, d, "documents"))
+        .select(col("doc_id"), concat(col("r1"), col("r2")).as("blob"))
       graft.ingest.WarcIngest.parseRecords(s, blobs, "doc_id", "blob").toDF()
-        .select(col("doc_id"), col("rec_idx"), col("warc_type"),
-          col("target_uri"), col("content_length"),
-          md5(col("payload").cast("binary")).as("payload_md5"))
+        .select(warcProjection: _*)
+    }),
+    "q_warc_gz" -> ((s, d) => {
+      // the SAME archives compressed as per-record gzip MEMBERS (the
+      // .warc.gz layout CommonCrawl distributes) through the gzip path —
+      // identical oracle: compression is transport, the record set is
+      // invariant, and a member-boundary bug desyncs the md5s → red
+      import s.implicits._
+      val gz = warcFixtureRecords(t(s, d, "documents"))
+        .select(col("doc_id"), col("r1"), col("r2"))
+        .as[(Long, String, String)]
+        .map { case (id, a, b) =>
+          val u = java.nio.charset.StandardCharsets.UTF_8
+          (id, graft.ingest.WarcIngest.gzipMember(a.getBytes(u)) ++
+            graft.ingest.WarcIngest.gzipMember(b.getBytes(u)))
+        }.toDF("doc_id", "gz")
+      graft.ingest.WarcIngest.parseGzipRecords(s, gz, "doc_id", "gz").toDF()
+        .select(warcProjection: _*)
     }),
     "q_nfc_norm" -> ((s, d) => { // Unicode NFC canonical composition (the
       // graft.functions.NfcNormalize codegen expression) over planted
@@ -1082,6 +1089,28 @@ object SparkEntry {
     * only for even entry indices. Both sides rebuild the same rows, so the
     * match verifies extraction + unescaping, not the fixture.
     */
+  /** Two WARC record strings per doc (warcinfo + response carrying the doc
+    * text; Content-Length in UTF-8 octets) — shared by the plain and gzip
+    * WARC queries so both parse the IDENTICAL archives.
+    */
+  private def warcFixtureRecords(docs: DataFrame): DataFrame = {
+    val meta = concat(lit("graft-warcinfo "), col("doc_id"))
+    val r1 = concat(
+      lit("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+        "WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+      length(meta), lit("\r\n\r\n"), meta, lit("\r\n\r\n"))
+    val r2 = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://h"),
+      col("doc_id"), lit(".example.com/page\r\nContent-Length: "),
+      octet_length(col("text")), lit("\r\n\r\n"), col("text"), lit("\r\n\r\n"))
+    docs.select(col("doc_id"), r1.as("r1"), r2.as("r2"))
+  }
+
+  /** The oracle-facing WARC projection (md5 over the payload's UTF-8 bytes). */
+  private def warcProjection: Seq[Column] = Seq(
+    col("doc_id"), col("rec_idx"), col("warc_type"), col("target_uri"),
+    col("content_length"), md5(col("payload").cast("binary")).as("payload_md5"))
+
   private def sitemapFixtureXml(docs: DataFrame): DataFrame = {
     val host = concat(lit("sub"), (col("doc_id") % 3).cast("string"),
       lit(".host"), (col("doc_id") % 23).cast("string"),
@@ -1704,6 +1733,17 @@ object SparkEntry {
     "q_warc_records" ->
       // closed-form reconstruction — strlen is DuckDB's BYTE length,
       // matching the WARC octet contract; md5 over the same UTF-8 bytes
+      """WITH base AS (SELECT doc_id, text FROM documents)
+         SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+           CAST(NULL AS VARCHAR) AS target_uri,
+           strlen('graft-warcinfo ' || doc_id) AS content_length,
+           md5('graft-warcinfo ' || doc_id) AS payload_md5 FROM base
+         UNION ALL
+         SELECT doc_id, 1, 'response',
+           'https://h' || doc_id || '.example.com/page',
+           strlen(text), md5(text) FROM base""",
+    "q_warc_gz" ->
+      // identical record set to q_warc_records: gzip is transport only
       """WITH base AS (SELECT doc_id, text FROM documents)
          SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
            CAST(NULL AS VARCHAR) AS target_uri,

@@ -100,6 +100,40 @@ object WarcIngest {
       }
     }
 
+  /** Gzipped variant — the shape CommonCrawl actually distributes
+    * (`.warc.gz`: each record its own gzip MEMBER, members concatenated so
+    * a range request can start at any member boundary). `GZIPInputStream`
+    * reads concatenated members natively; after inflation the framing
+    * parser above applies unchanged. `df` needs a LONG id column and a
+    * BINARY gzip-blob column.
+    */
+  def parseGzipRecords(spark: SparkSession, df: DataFrame, idCol: String,
+      gzCol: String): Dataset[WarcRecord] = {
+    import spark.implicits._
+    df.selectExpr(s"CAST($idCol AS LONG)", gzCol)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, gz) =>
+        parseBlob(id, gunzipAll(gz))
+      })
+  }
+
+  /** Inflate a (possibly multi-member) gzip blob to one byte array. */
+  private[ingest] def gunzipAll(gz: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(gz), 64 * 1024)
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Per-record gzip compression for fixtures/tests (one member per
+    * record, the CommonCrawl layout).
+    */
+  private[graft] def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.util.zip.GZIPOutputStream(bos)
+    out.write(record); out.close()
+    bos.toByteArray
+  }
+
   private def startsWithAt(hay: Array[Byte], needle: Array[Byte], off: Int): Boolean = {
     if (off + needle.length > hay.length) return false
     var i = 0

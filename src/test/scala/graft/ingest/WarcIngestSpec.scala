@@ -66,4 +66,15 @@ class WarcIngestSpec extends AnyFunSuite {
     assert(parse("").isEmpty)
     assert(parse("\r\n\r\n").isEmpty)
   }
+
+  test("per-record gzip members (the .warc.gz layout) inflate and round-trip") {
+    val u = java.nio.charset.StandardCharsets.UTF_8
+    val a = rec("warcinfo", "robots: obey")
+    val b = rec("response", "中文 payload", uri = Some("https://ex.com/zh"))
+    val gz = WarcIngest.gzipMember(a.getBytes(u)) ++
+      WarcIngest.gzipMember(b.getBytes(u))
+    val got = WarcIngest.parseBlob(7L, WarcIngest.gunzipAll(gz)).toSeq
+    assert(got === parse(a + b))
+    assert(got(1).payload === "中文 payload")
+  }
 }
