@@ -4,12 +4,13 @@ package graft.frontier
   * prefix rules — the piece that turns a fetched robots.txt body into the
   * per-host `robots_disallow` column of the host-state side input.
   *
-  * Scope (the subset the gate consumes): User-agent grouping with longest-
-  * agent-match selection, Disallow prefix rules, empty Disallow = allow all,
-  * comments and blank lines. Allow-precedence and wildcards are out of
-  * scope — the scheduler gate is a prefix test (north_rule: robots-GATED
-  * scheduling, not a full REP implementation), and unknown directives are
-  * ignored per the de-facto standard.
+  * Scope: User-agent grouping with longest-agent-match selection,
+  * Disallow/Allow prefix rules (full longest-match precedence via
+  * [[isAllowed]]; the scheduler's columnar gate consumes the Disallow
+  * prefixes only — north_rule: robots-GATED scheduling — a conservative
+  * under-approximation, seam documented at [[isAllowed]]), empty Disallow
+  * = allow all, comments and blank lines. Wildcards (`*`, `$`) are out of
+  * scope, and unknown directives are ignored per the de-facto standard.
   *
   * Parsing happens once per host at host-state build time (one row per
   * host), never per frontier row.
@@ -17,17 +18,19 @@ package graft.frontier
 object RobotsTxt {
 
   final case class Group(agents: Seq[String], disallow: Seq[String],
-      crawlDelay: Option[Double] = None)
+      crawlDelay: Option[Double] = None, allow: Seq[String] = Nil)
 
   def parseGroups(text: String): Seq[Group] = {
     val groups = scala.collection.mutable.ArrayBuffer[Group]()
     var agents = Vector.empty[String]
     var rules = Vector.empty[String]
+    var allows = Vector.empty[String]
     var delay: Option[Double] = None
     var inRules = false
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += Group(agents, rules, delay)
-      agents = Vector.empty; rules = Vector.empty; delay = None; inRules = false
+      if (agents.nonEmpty) groups += Group(agents, rules, delay, allows)
+      agents = Vector.empty; rules = Vector.empty; allows = Vector.empty
+      delay = None; inRules = false
     }
     (if (text == null) "" else text).linesIterator.foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -42,6 +45,9 @@ object RobotsTxt {
           case "disallow" =>
             inRules = true
             if (value.nonEmpty) rules :+= value // empty Disallow = allow all
+          case "allow" =>
+            inRules = true
+            if (value.nonEmpty) allows :+= value // empty Allow is a no-op
           case "crawl-delay" =>
             inRules = true
             // non-standard but honored by most large crawlers; malformed or
@@ -90,4 +96,28 @@ object RobotsTxt {
     */
   def disallowFor(text: String, agent: String): Seq[String] =
     groupFor(text, agent).map(_.disallow).getOrElse(Seq.empty)
+
+  /** Full REP Allow/Disallow precedence (Google's published semantics,
+    * also RFC 9309 §2.2.2): among the rules whose PREFIX matches the path,
+    * the LONGEST wins; on an exact length tie the Allow rule wins; no
+    * matching rule = allowed. This is the per-URL decision for callers
+    * honoring `Allow:` carve-outs (e.g. `Disallow: /` + `Allow: /public`).
+    *
+    * The [[Scheduler]]'s columnar enqueue gate deliberately stays the
+    * Disallow-prefix test (north_rule scope: robots-GATED scheduling) — a
+    * conservative under-approximation that never fetches a disallowed URL;
+    * swapping this function into that gate is the documented seam for
+    * full-REP fidelity. Wildcard (`*`, `$`) rules remain out of scope for
+    * both paths.
+    */
+  def isAllowed(text: String, agent: String, path: String): Boolean =
+    groupFor(text, agent).forall { g =>
+      val d = g.disallow.filter(path.startsWith).map(_.length).maxOption
+      val a = g.allow.filter(path.startsWith).map(_.length).maxOption
+      (d, a) match {
+        case (None, _) => true
+        case (Some(dl), Some(al)) => al >= dl
+        case _ => false
+      }
+    }
 }

@@ -94,4 +94,35 @@ class RobotsTxtSpec extends AnyFunSuite {
     assert(RobotsTxt.disallowFor(t, "b") === Seq("/e/"))
     assert(RobotsTxt.crawlDelayFor(t, "b") === None)
   }
+
+  test("Allow carve-out: longest matching rule wins (RFC 9309 precedence)") {
+    val t = "User-agent: *\nDisallow: /\nAllow: /public/"
+    assert(!RobotsTxt.isAllowed(t, "graftbot", "/private/a"))
+    assert(RobotsTxt.isAllowed(t, "graftbot", "/public/a"))
+    // a deeper Disallow re-blocks inside the carve-out
+    val t2 = t + "\nDisallow: /public/tmp/"
+    assert(RobotsTxt.isAllowed(t2, "graftbot", "/public/a"))
+    assert(!RobotsTxt.isAllowed(t2, "graftbot", "/public/tmp/x"))
+  }
+
+  test("Allow wins exact-length ties; no matching rule allows; no group allows") {
+    val tie = "User-agent: *\nDisallow: /dir/\nAllow: /dir2"
+    // '/dir/' and '/dir2' are both length 5; only one matches each path
+    assert(!RobotsTxt.isAllowed(tie, "graftbot", "/dir/x"))
+    assert(RobotsTxt.isAllowed(tie, "graftbot", "/dir2x"))
+    val exactTie = "User-agent: *\nDisallow: /a/\nAllow: /a/"
+    assert(RobotsTxt.isAllowed(exactTie, "graftbot", "/a/x"))
+    assert(RobotsTxt.isAllowed("User-agent: *\nDisallow: /x/", "graftbot", "/y"))
+    assert(RobotsTxt.isAllowed("", "graftbot", "/anything"))
+  }
+
+  test("Allow respects group selection; scheduler's disallow view unchanged") {
+    val t = "User-agent: graftbot\nDisallow: /\nAllow: /ok/\n\n" +
+      "User-agent: *\nDisallow: /other/"
+    assert(RobotsTxt.isAllowed(t, "graftbot-1.0", "/ok/page"))
+    assert(!RobotsTxt.isAllowed(t, "graftbot-1.0", "/nope"))
+    assert(RobotsTxt.isAllowed(t, "strangerbot", "/nope")) // * group: only /other/
+    // the conservative columnar gate still sees only the Disallow prefixes
+    assert(RobotsTxt.disallowFor(t, "graftbot-1.0") === Seq("/"))
+  }
 }
