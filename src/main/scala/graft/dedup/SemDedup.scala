@@ -33,6 +33,13 @@ import graft.search.SimilaritySearch
   *     [[semanticOversizeCells]], never silent. A degenerate clustering (all
   *     mass in one cell — e.g. near-duplicate boilerplate embeddings at crawl
   *     scale) degrades to a diagnostic row, not an O(n²) stage.
+  *
+  * Honest limit: keeping cells at a constant size means nlist ∝ n, and the
+  * FLAT argmax assignment is O(n · nlist · dim) — fine to ~10^4 cells (the
+  * paper's own k at 10^8 docs), quadratic-ish beyond. Past that the coarse
+  * quantizer goes hierarchical (argmax over √k super-centroids, then over
+  * that super-cell's sub-centroids: O(n·2√k·dim)); the seam is [[assign]] —
+  * everything downstream consumes only (id, v, cell).
   */
 object SemDedup {
 
