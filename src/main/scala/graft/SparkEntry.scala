@@ -622,6 +622,22 @@ object SparkEntry {
       // oracle reconstructs every (kind, loc, lastmod) row without parsing
       graft.frontier.Sitemap.parse(
         sitemapFixtureXml(t(s, d, "documents")), "xml", Seq("doc_id"))),
+    "q_url_striptrack" -> ((s, d) => {
+      // the strip_tracking codegen expression over URLs synthesized with
+      // four closed-form query shapes (utm family around a real param;
+      // unordered params + gclid; tracking-only query; no query) — the
+      // oracle writes the expected dedup key per shape directly, so a
+      // strip or sort regression mismatches
+      val i = col("doc_id")
+      val url = concat(lit("https://h"), i, lit(".example.com/p"),
+        when(pmod(i, lit(4)) === 0,
+          concat(lit("?utm_source=x&id="), i, lit("&utm_campaign=y")))
+          .when(pmod(i, lit(4)) === 1, lit("?b=2&a=1&gclid=abc"))
+          .when(pmod(i, lit(4)) === 2, lit("?fbclid=z"))
+          .otherwise(lit("")))
+      t(s, d, "documents").select(col("doc_id"), url.as("url"),
+        strip_tracking(url).as("dedup_key"))
+    }),
     "q_warc_records" -> ((s, d) => {
       // WARC framing round-trip, oracled closed-form: every doc becomes a
       // two-record archive blob (warcinfo + response whose payload is the
@@ -1730,6 +1746,18 @@ object SparkEntry {
     "q_lm_quality" -> lmQualityOracleSql,
     "q_tfidf" -> tfidfOracleSql,
     "q_sitemap" -> sitemapOracleSql,
+    "q_url_striptrack" ->
+      """SELECT doc_id,
+           'https://h' || doc_id || '.example.com/p' ||
+             CASE doc_id % 4
+               WHEN 0 THEN '?utm_source=x&id=' || doc_id || '&utm_campaign=y'
+               WHEN 1 THEN '?b=2&a=1&gclid=abc'
+               WHEN 2 THEN '?fbclid=z' ELSE '' END AS url,
+           'https://h' || doc_id || '.example.com/p' ||
+             CASE doc_id % 4
+               WHEN 0 THEN '?id=' || doc_id
+               WHEN 1 THEN '?a=1&b=2' ELSE '' END AS dedup_key
+         FROM documents""",
     "q_warc_records" ->
       // closed-form reconstruction — strlen is DuckDB's BYTE length,
       // matching the WARC octet contract; md5 over the same UTF-8 bytes

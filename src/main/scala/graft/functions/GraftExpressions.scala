@@ -108,6 +108,20 @@ object GraftExpressions {
     override def prettyName: String = "url_path"
   }
 
+  /** Tracking-param strip + param sort over a canonical URL ([[UrlCodec.stripTracking]]
+    * — the aggressive seen-set/dedup key; fetch with the conservative form).
+    */
+  case class StripTracking(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(v: Any): Any =
+      UrlCodec.stripTrackingU(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.UrlCodec.stripTrackingU($c)")
+    override protected def withNewChildInternal(c: Expression): StripTracking = copy(child = c)
+    override def prettyName: String = "strip_tracking"
+  }
+
   /** Unicode NFC normalization ([[TextNorm]] — canonical composition only;
     * see there for the NFC-vs-NFKC policy). Codegen'd static call with an
     * allocation-free fast path for already-normalized text.
@@ -136,6 +150,7 @@ object GraftExpressions {
   def url_path(c: Column): Column = col(UrlPath(expr(c)))
   def mix64_salted(c: Column, salt: Long): Column = col(Mix64Salted(expr(c), salt))
   def nfc_normalize(c: Column): Column = col(NfcNormalize(expr(c)))
+  def strip_tracking(c: Column): Column = col(StripTracking(expr(c)))
 
   /** Register all graft scalar functions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -147,5 +162,6 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("url_host", es => UrlHost(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("url_path", es => UrlPath(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize", es => NfcNormalize(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("strip_tracking", es => StripTracking(es.head), "scala_udf")
   }
 }

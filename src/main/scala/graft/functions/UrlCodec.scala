@@ -116,4 +116,44 @@ object UrlCodec {
 
   def pathOfU(s: UTF8String): UTF8String =
     if (s == null) null else UTF8String.fromString(pathOf(s.toString))
+
+  /** Exact-name tracking parameters (plus the `utm_*` prefix family) that
+    * identify a CLICK, not a page — two URLs differing only in these are
+    * the same document, and a seen-set keyed without stripping them
+    * re-fetches every page once per campaign link.
+    */
+  private val TrackingParams = Set("gclid", "fbclid", "msclkid", "yclid",
+    "igshid", "mc_eid", "_ga", "_gl", "spm", "ref", "ref_src")
+
+  /** Aggressive dedup-key canonicalization LAYERED ON TOP of
+    * [[canonicalize]] (which is deliberately conservative — it never alters
+    * the query, so the fetch URL stays exactly what the site expects):
+    * drop tracking parameters (`utm_*` prefix + the exact-name set above,
+    * both lowercase by convention — real trackers are), then sort the
+    * surviving `k=v` components bytewise so parameter ORDER stops mattering
+    * (`?b=2&a=1` keys equal to `?a=1&b=2`). Empty query after stripping
+    * drops the `?` entirely. Components split on `&`; names end at the
+    * first `=`; empty components vanish. Fragmentless input assumed (the
+    * canonicalizer already cut `#…`).
+    *
+    * Use for the SEEN-SET / frontier-dedup key; fetch with the
+    * conservative canonical form.
+    */
+  def stripTracking(url: String): String = {
+    if (url == null) return null
+    val q = url.indexOf('?')
+    if (q < 0) return url
+    val base = url.substring(0, q)
+    val kept = url.substring(q + 1).split("&").toIndexedSeq
+      .filter(_.nonEmpty)
+      .filterNot { p =>
+        val name = p.takeWhile(_ != '=')
+        name.startsWith("utm_") || TrackingParams.contains(name)
+      }
+      .sorted
+    if (kept.isEmpty) base else base + "?" + kept.mkString("&")
+  }
+
+  def stripTrackingU(s: UTF8String): UTF8String =
+    if (s == null) null else UTF8String.fromString(stripTracking(s.toString))
 }
