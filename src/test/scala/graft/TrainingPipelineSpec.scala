@@ -1,8 +1,9 @@
 package graft
 
 import graft.dedup.Dedup
+import graft.functions.GraftExpressions.nfc_normalize
 import graft.sample.Sampling
-import graft.text.{Decontaminate, LmScore, Pii, Repetition, TextAnalysis, TfIdf}
+import graft.text.{CompressionRatio, Decontaminate, LmScore, Pii, Repetition, TextAnalysis, TfIdf}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -10,10 +11,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** End-to-end training-set assembly — every stage a user of this library
   * would chain, composed in the order a real pipeline runs them:
   *
-  *   quality gate → repetition gate → PII redact → LM-perplexity gate →
-  *   exact dedup → near-dup canonical (MinHash-LSH + connected components)
-  *   → eval decontamination → deterministic stratified sample →
-  *   TF-IDF term tagging.
+  *   NFC normalize → quality gate → repetition gate → compression-ratio
+  *   gate → PII redact → LM-perplexity gate → exact dedup → near-dup
+  *   canonical (MinHash-LSH + connected components) → eval decontamination
+  *   → deterministic stratified sample → TF-IDF term tagging.
   *
   * The corpus is the sf0.001 documents table with PLANTED casualties for
   * every stage (an exact copy, a boilerplate-stuffed page, a PII page, an
@@ -46,19 +47,48 @@ class TrainingPipelineSpec extends AnyFunSuite {
       // unique junk tokens; its mean −ln p sits far above mean + 3σ
       (9005L, "en", (0 until 20).flatMap(i => Seq(
         Seq("table", "value", "part", "row", "key")(i % 5),
-        s"zq${('a' + i / 5).toChar}${('a' + i % 5).toChar}x")).mkString(" ")))
+        s"zq${('a' + i / 5).toChar}${('a' + i % 5).toChar}x")).mkString(" ")),
+      // Unicode twins: same shuffled corpus words (so every statistical
+      // gate sees a typical doc), suffixed with caf-e-acute PRECOMPOSED
+      // (9006) vs DECOMPOSED (9007). Only NFC normalization makes them
+      // exact duplicates — shuffling keeps 3-shingle overlap with doc 0
+      // far below the minhash threshold, so exact dedup is the stage on
+      // the hook.
+      (9006L, "en", shuffledFirst + " caf\u00e9 finale"),
+      (9007L, "en", shuffledFirst + " cafe\u0301 finale"),
+      // long-RANGE repetition: a 20-word paragraph repeated 10×. Every
+      // line is unique and the top bigram holds ~5% share, so the cheap
+      // repetition gate passes — the deflate ratio (~0.1) catches it.
+      (9008L, "en", Seq.fill(10)(firstText.split(" ").take(20).mkString(" "))
+        .mkString(". ")))
       .toDF("doc_id", "lang", "text")
     base.unionByName(plants)
   }
 
+  private lazy val shuffledFirst = {
+    val base = spark.read.parquet(SparkTestBase.sfDir + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val words = base.orderBy("doc_id").select("text").as[String].first().split(" ")
+    new scala.util.Random(9).shuffle(words.toList).mkString(" ")
+  }
+
   private def assemble(c: DataFrame): DataFrame = {
+    // 0. Unicode NFC canonicalization — BEFORE any equality-based stage,
+    // so decomposed/precomposed variants of the same text hash together
+    val normalized = c.withColumn("text", nfc_normalize(col("text")))
     // 1. quality + repetition gates (pure filters)
-    val gated = c
+    val gated = normalized
       .filter(TextAnalysis.qualityScore(col("text")) > 0.3)
       .filter(Repetition.topRunFrac(
         Repetition.wordBigrams(split(col("text"), "\\s+"))) < 0.2)
+    // 1b. compression-ratio gate: long-RANGE repetition the line/bigram
+    // censuses cannot see (repeated paragraphs deflate to almost nothing)
+    val unflagged = CompressionRatio
+      .repetitiveFlags(spark, gated, "doc_id", "text")
+      .filter(col("is_repetitive") === 0).select("doc_id")
+    val prose = gated.join(unflagged, Seq("doc_id"), "left_semi")
     // 2. PII scrub (projection)
-    val scrubbed = gated.withColumn("text", Pii.redact(col("text")))
+    val scrubbed = prose.withColumn("text", Pii.redact(col("text")))
     // 2.5 LM-perplexity gate: drop statistical outliers under the corpus's
     // own bigram model (mean + 3σ — a relative threshold, so it tracks any
     // corpus; docs with < 2 tokens have no score and drop with the junk)
@@ -100,6 +130,22 @@ class TrainingPipelineSpec extends AnyFunSuite {
     // both eval-quoting plants are gone — including the PII one, whose
     // contamination must be detected on the REDACTED text
     assert(!ids.contains(9003L) && !ids.contains(9004L))
+    // the DECOMPOSED Unicode twin lost to its precomposed keeper — and
+    // only NFC makes that happen: on raw text the pair is not an exact
+    // group at all
+    assert(!ids.contains(9007L))
+    val pair = corpus.filter(col("doc_id").isin(9006L, 9007L))
+    assert(Dedup.exactDupGroups(pair, "doc_id", "text")
+      .filter(col("dup_count") > 1).count() === 0)
+    assert(Dedup.exactDupGroups(
+        pair.withColumn("text", nfc_normalize(col("text"))), "doc_id", "text")
+      .filter(col("dup_count") > 1 && col("keeper_id") === 9006L).count() === 1)
+    // the long-range repetition plant passed the cheap gates but its
+    // deflate ratio flags it
+    assert(!ids.contains(9008L))
+    assert(CompressionRatio.repetitiveFlags(spark,
+        corpus.filter(col("doc_id") === 9008L), "doc_id", "text")
+      .filter(col("is_repetitive") === 1).count() === 1)
     assert(ids.nonEmpty, "the pipeline must not drop the whole corpus")
 
     // no PII survives anywhere in the final sample
