@@ -451,10 +451,11 @@ object SparkEntry {
         "embedding", cb, q, k = 10, shortlist = 50).select(col("id"))
       val qLit = lit(q)
       val exact = emb.select(col("vec_id").as("id"),
-          round(aggregate(
-            zip_with(col("embedding").cast("array<double>"), qLit,
-              (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, x) => acc + x), 6).as("l2sq"))
+          // r6: native vec_l2sq kernel — same ascending fold as the
+          // previous zip_with/aggregate composition, bit-identical rounded
+          // values (VecOpsSpec)
+          round(graft.functions.VecOps.vec_l2sq(
+            col("embedding").cast("array<double>"), qLit), 6).as("l2sq"))
         .orderBy(col("l2sq").asc, col("id").asc).limit(10)
       val exactN = exact.agg(count(lit(1)).as("n_exact"))
       val guard = exact.join(approx, Seq("id"), "left_semi")
@@ -482,10 +483,11 @@ object SparkEntry {
         k = 10, nprobe = 8, shortlist = 50).select(col("id"))
       val qLit = lit(q)
       val exact = emb.select(col("vec_id").as("id"),
-          round(aggregate(
-            zip_with(col("embedding").cast("array<double>"), qLit,
-              (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, x) => acc + x), 6).as("l2sq"))
+          // r6: native vec_l2sq kernel — same ascending fold as the
+          // previous zip_with/aggregate composition, bit-identical rounded
+          // values (VecOpsSpec)
+          round(graft.functions.VecOps.vec_l2sq(
+            col("embedding").cast("array<double>"), qLit), 6).as("l2sq"))
         .orderBy(col("l2sq").asc, col("id").asc).limit(10)
       val exactN = exact.agg(count(lit(1)).as("n_exact"))
       val guard = exact.join(approx, Seq("id"), "left_semi")

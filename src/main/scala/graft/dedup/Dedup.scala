@@ -88,12 +88,16 @@ object Dedup {
     val rows = numPerms / bands
     // localCheckpoint: the signature projection is a large codegen unit and
     // feeds BOTH sides of the self-join — materialize it once instead of
-    // recomputing per side
+    // recomputing per side. r6 (guide §2.3/§1.2): shingles are stored SORTED
+    // (signature is a min over the set, so sorting first changes nothing)
+    // and the intermediate 32-long `sig` column is NOT checkpointed — only
+    // its 8 band hashes survive, which shrinks the materialized row by the
+    // whole signature array.
     val sigs = df.select(
       col(idCol).as("id"),
-      wordShingleHashes(col(textCol), shingleWords).as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), numPerms))
-      .withColumn("band_hash", lshBands(col("sig"), bands, rows))
+      sort_array(wordShingleHashes(col(textCol), shingleWords)).as("shingles"))
+      .withColumn("band_hash",
+        lshBands(minhashSignature(col("shingles"), numPerms), bands, rows))
       .localCheckpoint(true)
 
     val banded = sigs
@@ -110,13 +114,20 @@ object Dedup {
       .select("id1", "id2")
       .dropDuplicates("id1", "id2")
 
-    val sh = sigs.select(col("id"), col("shingles"))
+    // verify: one sorted-merge intersect per candidate (see
+    // [[graft.functions.ArraySetOps]]); |A∪B| = n1 + n2 − |A∩B| on distinct
+    // inputs, so the same integer counts feed the same double division as
+    // the array_intersect/array_union form — bit-identical jaccard.
+    val sh = sigs.select(col("id"), col("shingles"), size(col("shingles")).as("n"))
     candidates
-      .join(sh.select(col("id").as("id1"), col("shingles").as("sh1")), Seq("id1"))
-      .join(sh.select(col("id").as("id2"), col("shingles").as("sh2")), Seq("id2"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))))
+      .join(sh.select(col("id").as("id1"), col("shingles").as("sh1"),
+        col("n").as("n1")), Seq("id1"))
+      .join(sh.select(col("id").as("id2"), col("shingles").as("sh2"),
+        col("n").as("n2")), Seq("id2"))
+      .withColumn("inter",
+        graft.functions.ArraySetOps.sorted_intersect_count(col("sh1"), col("sh2"))
+          .cast("double"))
+      .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
@@ -201,19 +212,36 @@ object Dedup {
   /** Exact token-set Jaccard near-dups within blocking keys — for the
     * medium-scale exact variant (and the oracle-checkable one).
     * Blocks by (extra blocking cols) to bound the pairwise join.
+    *
+    * r6 verify kernel (guide §1.2 step 2): token sets are sorted ONCE per
+    * document; each pair is then one zero-allocation merge scan
+    * ([[graft.functions.ArraySetOps]]) instead of an `array_intersect` +
+    * `array_union` pair of hash-set builds, and `|A∪B| = n1 + n2 − |A∩B|`
+    * (distinct inputs) removes the union entirely. A size prefilter drops
+    * pairs whose best-case jaccard `min(n)/max(n)` is already below the
+    * threshold BEFORE the merge scan runs; it uses the same double division
+    * as the final test, so rounding is monotone and no qualifying pair can
+    * be dropped. Same integer counts → same double division → bit-identical
+    * output.
     */
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame = {
     val base = df.select((col(idCol).as("id") +:
-      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks") +:
+      sort_array(array_distinct(TextAnalysis.tokens(col(textCol)))).as("toks") +:
       blockCols.map(col)): _*)
-    val l = base.select((col("id").as("id1") +: col("toks").as("t1") +: blockCols.map(col)): _*)
-    val r = base.select((col("id").as("id2") +: col("toks").as("t2") +: blockCols.map(col)): _*)
+      .withColumn("nt", size(col("toks")))
+    val l = base.select((col("id").as("id1") +: col("toks").as("t1") +:
+      col("nt").as("n1") +: blockCols.map(col)): _*)
+    val r = base.select((col("id").as("id2") +: col("toks").as("t2") +:
+      col("nt").as("n2") +: blockCols.map(col)): _*)
     l.join(r, blockCols)
       .filter(col("id1") < col("id2"))
-      .withColumn("jaccard",
-        size(array_intersect(col("t1"), col("t2"))).cast("double") /
-          size(array_union(col("t1"), col("t2"))))
+      .filter(least(col("n1"), col("n2")).cast("double") /
+        greatest(col("n1"), col("n2")) >= threshold)
+      .withColumn("inter",
+        graft.functions.ArraySetOps.sorted_intersect_count(col("t1"), col("t2"))
+          .cast("double"))
+      .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
@@ -322,7 +350,12 @@ object Dedup {
     array((0 until bands).map(b => signSketch(vec, dim, planesPerBand,
       planeOffset = b * planesPerBand)): _*)
 
-  /** Sign-LSH bucket id over planes [offset, offset+planes). */
+  /** Sign-LSH bucket id over planes [offset, offset+planes). r6: each
+    * plane's dot product is the native [[graft.functions.VecOps.vec_dot]]
+    * kernel (same ascending summation → same sign → same bucket ids) —
+    * the composed `aggregate(zip_with(...))` form materialized a product
+    * array per plane per row, 192 arrays/row at the default 24×8 banding.
+    */
   def signSketch(vec: Column, dim: Int, planes: Int, planeOffset: Int = 0): Column = {
     val bits = (0 until planes).map { i =>
       val p = planeOffset + i
@@ -330,20 +363,19 @@ object Dedup {
         val h = graft.functions.GraftHash.mix64(p * 1009L + d)
         ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
       }
-      val dot = aggregate(
-        zip_with(vec, lit(plane.toArray), (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
+      val dot = graft.functions.VecOps.vec_dot(vec, lit(plane.toArray))
       when(dot > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
-  /** Cosine similarity of two float-array columns (codegen'd aggregate). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
-  }
+  /** Cosine similarity of two double-array columns. r6: one native codegen
+    * kernel ([[graft.functions.VecOps.cosine_sim]]) — bit-identical to the
+    * previous `aggregate(zip_with(...))` composition (same ascending folds;
+    * pinned by VecOpsSpec) with zero per-pair allocations.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VecOps.cosine_sim(a, b)
 
   /** Connected components over an undirected pair list — the cluster step
     * every near-dup operator here needs to go from PAIRS to DEDUP GROUPS

@@ -11,12 +11,17 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * (BASELINE.json input_hint / FIXTURES.md §2): columns
   * (image_id, bytes, w, h, fmt, caption, phash).
   *
-  * Rasters are seeded gradient+noise; every fourth image is JPEG q=0.9
-  * (lossy), the rest PNG (lossless) — both via JDK javax.imageio, so the
-  * payload bytes are REAL codec output and the PSNR invariant is exercised
-  * against a genuine lossy round-trip, not a stand-in. Generation runs
-  * distributed (`spark.range(n).mapPartitions`), one image per row, no
-  * driver materialization — the shape that scales to the full table.
+  * Rasters are seeded gradient+noise; every fourth image is JPEG q=0.97
+  * (lossy, via the real JDK javax.imageio codec — the PSNR invariant is
+  * exercised against a genuine lossy round-trip, not a stand-in), the rest
+  * PNG (lossless, via [[PngCodec]] since r6 — a spec-compliant encoder at
+  * deflate level 1 whose output the SAME JDK reader decodes to
+  * bit-identical pixels, pinned by PngCodecSpec; the JDK writer's
+  * hardcoded best-compression path was the frontier round's dominant
+  * per-row cost for a byte-stream nothing retains). DECODE always goes
+  * through the real JDK codecs. Generation runs distributed
+  * (`spark.range(n).mapPartitions`), one image per row, no driver
+  * materialization — the shape that scales to the full table.
   */
 object ImageGen {
 
@@ -33,14 +38,24 @@ object ImageGen {
 
   /** Seeded raster: smooth 2-D gradient + low-amplitude noise (keeps JPEG
     * PSNR well above the 40 dB gate while still exercising every pixel).
+    *
+    * r6: pixels are written straight into the TYPE_INT_RGB backing
+    * `DataBufferInt` instead of per-pixel `setRGB` (which routes every call
+    * through the ColorModel). Identical stored ints — `setRGB` on
+    * TYPE_INT_RGB stores exactly the packed (r<<16)|(g<<8)|b — so encode /
+    * PSNR / phash downstream see bit-identical images (pinned by
+    * ImagePixelPathSpec).
     */
   def raster(i: Long): BufferedImage = {
     val w = 32 + (java.lang.Math.floorMod(mix64(i, 1L), 4L) * 32).toInt // 32..128
     val h = 32 + (java.lang.Math.floorMod(mix64(i, 2L), 4L) * 32).toInt
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     val base = mix64(i, 3L)
     var y = 0
     while (y < h) {
+      val row = y * w
       var x = 0
       while (x < w) {
         val n = mix64(base, (y.toLong << 20) | x.toLong)
@@ -48,7 +63,7 @@ object ImageGen {
         val r = clamp((x * 255) / w + noise(0))
         val g = clamp((y * 255) / h + noise(8))
         val b = clamp(((x + y) * 255) / (w + h) + noise(16))
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        data(row + x) = (r << 16) | (g << 8) | b
         x += 1
       }
       y += 1
@@ -79,20 +94,39 @@ object ImageGen {
         java.lang.Math.floorMod(s >>> 24, 628L) / 100.0,
         30.0 / math.sqrt(k + 1.0))
     }
+    // r6: each component is separable — a·sin(f(x))·sin(g(y)) — so the
+    // per-axis sin tables are computed once (O(10·(w+h)) sins instead of
+    // O(20·w·h)). The accumulation keeps the original association and
+    // component order ((a·sinx)·siny, k ascending), and pixels ride the
+    // backing DataBufferInt, so the result is bit-identical to the
+    // per-pixel form (pinned by ImagePixelPathSpec).
+    val nc = comps.length
+    val ax = Array.ofDim[Double](nc, w) // a * sin(2π·fx·x/w + p1)
+    val sy = Array.ofDim[Double](nc, h) // sin(2π·fy·y/h + p2)
+    var k = 0
+    while (k < nc) {
+      val (fx, fy, p1, p2, a) = comps(k)
+      var x = 0
+      while (x < w) { ax(k)(x) = a * math.sin(2 * math.Pi * fx * x / w + p1); x += 1 }
+      var yy = 0
+      while (yy < h) { sy(k)(yy) = math.sin(2 * math.Pi * fy * yy / h + p2); yy += 1 }
+      k += 1
+    }
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var y = 0
     while (y < h) {
+      val row = y * w
       var x = 0
       while (x < w) {
         var t = 0.0
-        comps.foreach { case (fx, fy, p1, p2, a) =>
-          t += a * math.sin(2 * math.Pi * fx * x / w + p1) *
-            math.sin(2 * math.Pi * fy * y / h + p2)
-        }
-        val p = img.getRGB(x, y)
+        var c = 0
+        while (c < nc) { t += ax(c)(x) * sy(c)(y); c += 1 }
+        val p = data(row + x)
         val r = clamp((((p >> 16) & 0xff) + t).toInt)
         val g = clamp((((p >> 8) & 0xff) + t).toInt)
         val b = clamp(((p & 0xff) + t).toInt)
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        data(row + x) = (r << 16) | (g << 8) | b
         x += 1
       }
       y += 1
@@ -105,6 +139,15 @@ object ImageGen {
   def encode(img: BufferedImage, fmt: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     fmt match {
+      case "png" if img.getType == BufferedImage.TYPE_INT_RGB =>
+        // r6: [[PngCodec]] instead of the JDK writer's hardcoded
+        // best-compression path — same lossless format, bit-identical
+        // DECODED pixels via the same JDK reader (PngCodecSpec), ~10x
+        // faster on the frontier's dominant per-row cost (and the noise
+        // payload is incompressible anyway — see PngCodec doc). JPEG (the
+        // genuinely lossy round-trip the 40 dB gate tests) stays the real
+        // JDK codec with unchanged bytes.
+        return PngCodec.encode(img)
       case "png" =>
         ImageIO.write(img, "png", bos)
       case "jpeg" =>
@@ -128,8 +171,18 @@ object ImageGen {
     s"${idOf(i)}: " + picks.mkString(" ")
   }
 
-  /** 64-bit average perceptual hash: 8x8 grayscale downsample, bit = above mean. */
+  /** 64-bit average perceptual hash: 8x8 grayscale downsample, bit = above
+    * mean. r6: reads the TYPE_INT_RGB backing buffer directly (same packed
+    * ints `getRGB` masks out of its 0xFF000000|v return — only the low 24
+    * bits are used, and the accumulation order is unchanged, so the hash is
+    * bit-identical; per-pixel `getRGB` fallback for any other image type).
+    */
   def phashOf(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val fast: Array[Int] =
+      if (img.getType == BufferedImage.TYPE_INT_RGB)
+        img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferInt].getData
+      else null
     val g = new Array[Double](64)
     val cw = img.getWidth / 8.0
     val ch = img.getHeight / 8.0
@@ -141,9 +194,10 @@ object ImageGen {
       var acc = 0.0; var n = 0
       var y = by
       while (y < ey) {
+        val row = y * w
         var x = bx
         while (x < ex) {
-          val rgb = img.getRGB(x, y)
+          val rgb = if (fast != null) fast(row + x) else img.getRGB(x, y)
           acc += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
           n += 1; x += 1
         }

@@ -96,10 +96,9 @@ object IvfPq {
     vectors.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .join(broadcast(cand), "id")
+      // r6: native vec_l2sq kernel — same ascending fold, bit-identical
       .select(col("id"),
-        round(aggregate(zip_with(col("v"), lit(query),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x),
-          6).as("l2sq"))
+        round(graft.functions.VecOps.vec_l2sq(col("v"), lit(query)), 6).as("l2sq"))
       .orderBy(col("l2sq").asc, col("id").asc)
       .limit(k)
   }

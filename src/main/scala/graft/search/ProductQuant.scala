@@ -36,10 +36,14 @@ object ProductQuant {
   final case class PqCodebook(m: Int, ksub: Int, dsub: Int,
       codebook: Array[Array[Array[Double]]])
 
-  /** Σ (a−b)² over two equal-length array columns. */
+  /** Σ (a−b)² over two equal-length array columns. r6: the native
+    * [[graft.functions.VecOps.vec_l2sq]] kernel (same ascending fold →
+    * bit-identical; pinned by VecOpsSpec) — the composed
+    * `aggregate(zip_with(...))` form allocated a diff array per evaluation,
+    * and [[argminCode]] evaluates this ksub=256 times per row per subspace.
+    */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VecOps.vec_l2sq(a, b)
 
   /** argmin-by-L2 code over one subspace's centroid literal; ties to the
     * lowest code (strict < keeps the first minimum; the literal is

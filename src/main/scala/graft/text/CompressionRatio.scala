@@ -38,6 +38,12 @@ object CompressionRatio {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(level)
+        // release the Deflater's native memory when the task ends (ADVICE
+        // r5): without end(), each task's native buffer lives until GC
+        // finalization — across many tasks of a long job that accumulates
+        // off-heap
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](64 * 1024)
         it.map { case (id, text) =>
           val raw = Option(text).getOrElse("")

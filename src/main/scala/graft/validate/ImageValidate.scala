@@ -28,26 +28,80 @@ object ImageValidate {
   def decode(bytes: Array[Byte]): BufferedImage =
     ImageIO.read(new ByteArrayInputStream(bytes))
 
+  /** Row-major packed-RGB pixels of an image, reading the backing raster
+    * directly for the two layouts this pipeline actually produces
+    * (TYPE_INT_RGB from the generator, TYPE_3BYTE_BGR from the JDK
+    * PNG/JPEG readers) and falling back to per-pixel `getRGB` for anything
+    * else. Only the low 24 bits are meaningful — identical to what the
+    * per-pixel `getRGB` path yields under the `& 0xff` channel masks
+    * (pinned by ImagePixelPathSpec). Callers must treat the returned array
+    * as read-only: for TYPE_INT_RGB it IS the image's backing buffer.
+    */
+  private[graft] def packedRgb(img: BufferedImage): Array[Int] = {
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    img.getType match {
+      case BufferedImage.TYPE_INT_RGB
+          if raster.getDataBuffer.getOffset == 0 &&
+            raster.getSampleModel.isInstanceOf[java.awt.image.SinglePixelPackedSampleModel] &&
+            raster.getSampleModel.asInstanceOf[java.awt.image.SinglePixelPackedSampleModel]
+              .getScanlineStride == w =>
+        raster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferInt].getData
+      case BufferedImage.TYPE_3BYTE_BGR
+          if raster.getDataBuffer.getOffset == 0 &&
+            raster.getSampleModel.isInstanceOf[java.awt.image.PixelInterleavedSampleModel] &&
+            raster.getSampleModel.asInstanceOf[java.awt.image.PixelInterleavedSampleModel]
+              .getPixelStride == 3 =>
+        val sm = raster.getSampleModel.asInstanceOf[java.awt.image.PixelInterleavedSampleModel]
+        val ss = sm.getScanlineStride
+        val db = raster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte].getData
+        val out = new Array[Int](w * h)
+        var y = 0; var k = 0
+        while (y < h) {
+          var o = y * ss
+          var x = 0
+          while (x < w) {
+            // TYPE_3BYTE_BGR band offsets: B at +0, G at +1, R at +2
+            out(k) = ((db(o + 2) & 0xff) << 16) | ((db(o + 1) & 0xff) << 8) | (db(o) & 0xff)
+            k += 1; o += 3; x += 1
+          }
+          y += 1
+        }
+        out
+      case _ =>
+        val out = new Array[Int](w * h)
+        var y = 0; var k = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { out(k) = img.getRGB(x, y); k += 1; x += 1 }
+          y += 1
+        }
+        out
+    }
+  }
+
   /** PSNR (dB) between two same-sized RGB images over all channels.
     * Infinity when identical (MSE = 0): PSNR = 10·log10(255² / MSE).
+    *
+    * r6: pixels come from [[packedRgb]] (one bulk raster read per image)
+    * instead of two `getRGB` ColorModel round-trips per pixel; the
+    * accumulation order (row-major, channels B,G,R per pixel) is unchanged,
+    * so `se` — and the returned dB — are bit-identical.
     */
   def psnr(a: BufferedImage, b: BufferedImage): Double = {
     require(a.getWidth == b.getWidth && a.getHeight == b.getHeight, "size mismatch")
+    val pa = packedRgb(a); val pb = packedRgb(b)
     var se = 0.0
-    var y = 0
-    while (y < a.getHeight) {
-      var x = 0
-      while (x < a.getWidth) {
-        val pa = a.getRGB(x, y); val pb = b.getRGB(x, y)
-        var sh = 0
-        while (sh <= 16) {
-          val d = ((pa >> sh) & 0xff) - ((pb >> sh) & 0xff)
-          se += d.toDouble * d
-          sh += 8
-        }
-        x += 1
+    var i = 0
+    while (i < pa.length) {
+      val x = pa(i); val y = pb(i)
+      var sh = 0
+      while (sh <= 16) {
+        val d = ((x >> sh) & 0xff) - ((y >> sh) & 0xff)
+        se += d.toDouble * d
+        sh += 8
       }
-      y += 1
+      i += 1
     }
     val mse = se / (a.getWidth.toDouble * a.getHeight * 3)
     if (mse == 0.0) Double.PositiveInfinity
