@@ -17,6 +17,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // r6 (guide §3.1): let AQE rewrite a sort-merge join to a shuffled
+      // hash join at runtime when EVERY post-shuffle partition of the build
+      // side fits a local map (≤128 MB). Guarded by actual runtime sizes,
+      // so the 10^10-row regimes (e.g. the seen-set anti-join at target
+      // scale, where partitions far exceed this) keep sort-merge's graceful
+      // spill; at partition sizes where a hash map fits, this removes both
+      // sides' sorts from the frontier anti-join. Default is 0 (off).
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")

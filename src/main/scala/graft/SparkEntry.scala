@@ -285,8 +285,19 @@ object SparkEntry {
       // q_ann_ivf move): emits the exact per-host distinct count only where
       // the HLL++ estimate (rsd 2%) lands within 10% — a sketch regression
       // drops rows and the oracle diff goes red
-      val agg = t(s, d, "events").groupBy(col("user_id"))
-        .agg(countDistinct(col("event_id")).as("n_exact"),
+      // r6 (guide §2.3): `agg(countDistinct, approx_count_distinct)` made
+      // the planner's multi-distinct rewrite key the FIRST aggregate by
+      // (user_id, event_id) with the 410-word HLL buffer carried per PAIR —
+      // ~100k × 3.3 KB through the exchange (plan dump in
+      // plans/r06/before/q_host_cardinality.txt). Dedup the pairs first,
+      // then aggregate once per user: count(event_id) over distinct pairs
+      // IS the exact distinct count, and HLL register updates are
+      // idempotent, so the sketch over deduplicated events carries
+      // bit-identical registers → identical estimate (oracle-pinned).
+      val agg = t(s, d, "events")
+        .select(col("user_id"), col("event_id")).distinct()
+        .groupBy(col("user_id"))
+        .agg(count(col("event_id")).as("n_exact"),
           approx_count_distinct(col("event_id"), 0.02).as("n_approx"))
       agg.filter(abs(col("n_approx") - col("n_exact")) <= col("n_exact") * 0.1)
         .select(col("user_id"), col("n_exact"))

@@ -92,10 +92,15 @@ object Dedup {
     // (signature is a min over the set, so sorting first changes nothing)
     // and the intermediate 32-long `sig` column is NOT checkpointed — only
     // its 8 band hashes survive, which shrinks the materialized row by the
-    // whole signature array.
-    val sigs = df.select(
-      col(idCol).as("id"),
-      sort_array(wordShingleHashes(col(textCol), shingleWords)).as("shingles"))
+    // whole signature array. r6 (guide §2.5): the shingle+signature build is
+    // the operator's dominant cost and fuses into the scan stage — spread it
+    // across cores first (no-op at scale, see [[Parallelize]]); measured
+    // 2.8 s single-task → ~0.2 s on 32 cores at sf0.1.
+    val sigs = graft.functions.Parallelize.spreadForCompute(
+      df.select(col(idCol), col(textCol)))
+      .select(
+        col(idCol).as("id"),
+        sort_array(wordShingleHashes(col(textCol), shingleWords)).as("shingles"))
       .withColumn("band_hash",
         lshBands(minhashSignature(col("shingles"), numPerms), bands, rows))
       .localCheckpoint(true)
@@ -206,8 +211,12 @@ object Dedup {
     bandedOversizeBuckets(simhashSigs(df, idCol, textCol), maxBucket)
 
   private def simhashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-      SimHash.simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
+    // r6 (guide §2.5): the 64·tokens signature loop fuses into the
+    // single-task scan stage otherwise — spread first (no-op at scale)
+    graft.functions.Parallelize.spreadForCompute(
+      df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
+        SimHash.simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
 
   /** Exact token-set Jaccard near-dups within blocking keys — for the
     * medium-scale exact variant (and the oracle-checkable one).
@@ -226,9 +235,22 @@ object Dedup {
     */
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame = {
-    val base = df.select((col(idCol).as("id") +:
-      sort_array(array_distinct(TextAnalysis.tokens(col(textCol)))).as("toks") +:
-      blockCols.map(col)): _*)
+    // r6: tokens ride the pairwise stage as sorted-distinct xxhash64 LONGS
+    // instead of strings (guide §2.3 "narrower types"): the per-pair merge
+    // scan compares 8-byte longs instead of UTF8 strings and the broadcast
+    // side shrinks by the token text — measured 3.86 s -> 0.92 s on the
+    // sf0.1 block join (DriveJaccardPerf). |distinct hashes| = |distinct
+    // tokens| and hash-equality = token-equality absent a 64-bit xxhash64
+    // collision inside one pair's union (~1e-12 at this vocabulary;
+    // DedupSpec diff-tests the two forms, and the DuckDB oracle replays the
+    // STRING jaccard, so any collision would fail the driver's hash check
+    // rather than pass silently).
+    val base = graft.functions.Parallelize.spreadForCompute(
+      df.select((col(idCol) +: col(textCol) +: blockCols.map(col)): _*))
+      .select((col(idCol).as("id") +:
+        sort_array(array_distinct(transform(TextAnalysis.tokens(col(textCol)),
+          t => xxhash64(t)))).as("toks") +:
+        blockCols.map(col)): _*)
       .withColumn("nt", size(col("toks")))
     val l = base.select((col("id").as("id1") +: col("toks").as("t1") +:
       col("nt").as("n1") +: blockCols.map(col)): _*)
@@ -265,8 +287,16 @@ object Dedup {
   def fingerprintNearDups(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, window: Int = 4, minShared: Int = 5,
       maxBucket: Long = 1000L): DataFrame = {
-    val fp = df.select(col(idCol).as("id"),
-      explode(TextAnalysis.fingerprint(col(textCol), k, window)).as("fp"))
+    // r6 (guide §1.2/§2.5): the winnow projection is the per-row-expensive
+    // stage and `fp` feeds FOUR plan branches (census + both sides of the
+    // self-join) — before, each branch re-ran the winnow scan, fused into a
+    // single scan task. Spread the projection across cores (no-op at scale,
+    // see [[Parallelize]]) and materialize it once. Same rows, same pairs.
+    val fp = graft.functions.Parallelize.spreadForCompute(
+      df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.fingerprint(col(textCol), k, window)).as("fp"))
+      .localCheckpoint(true)
     val small = fp.groupBy("fp").agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucket)
       .select("fp")

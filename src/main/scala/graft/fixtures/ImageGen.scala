@@ -53,16 +53,33 @@ object ImageGen {
     val data = img.getRaster.getDataBuffer
       .asInstanceOf[java.awt.image.DataBufferInt].getData
     val base = mix64(i, 3L)
+    // r6 (guide §1.2 step 2): mix64(base, k) = mix64(mix64(base) ^ k), and
+    // base is per-image constant — hoist the inner mix64(base) out of the
+    // pixel loop (halves the hash work), and precompute the three integer
+    // gradient divisions into per-axis/diagonal tables (same integer math,
+    // so every stored pixel — and everything hashed from it downstream —
+    // is bit-identical; pinned by ImagePixelPathSpec).
+    val mbase = mix64(base)
+    val gx = new Array[Int](w)
+    var t = 0
+    while (t < w) { gx(t) = (t * 255) / w; t += 1 }
+    val gy = new Array[Int](h)
+    t = 0
+    while (t < h) { gy(t) = (t * 255) / h; t += 1 }
+    val gd = new Array[Int](w + h - 1)
+    t = 0
+    while (t < w + h - 1) { gd(t) = (t * 255) / (w + h); t += 1 }
     var y = 0
     while (y < h) {
       val row = y * w
+      val yk = y.toLong << 20
       var x = 0
       while (x < w) {
-        val n = mix64(base, (y.toLong << 20) | x.toLong)
+        val n = mix64(mbase ^ (yk | x.toLong))
         def noise(sh: Int): Int = (((n >>> sh) & 0x7) - 4).toInt // ±4
-        val r = clamp((x * 255) / w + noise(0))
-        val g = clamp((y * 255) / h + noise(8))
-        val b = clamp(((x + y) * 255) / (w + h) + noise(16))
+        val r = clamp(gx(x) + noise(0))
+        val g = clamp(gy(y) + noise(8))
+        val b = clamp(gd(x + y) + noise(16))
         data(row + x) = (r << 16) | (g << 8) | b
         x += 1
       }
@@ -136,6 +153,19 @@ object ImageGen {
 
   def fmtOf(i: Long): String = if (i % 4 == 0) "jpeg" else "png"
 
+  // r6 (guide §4.5 "initialise heavyweight state once per task"): the JPEG
+  // writer is the SAME JDK codec instance either way — what the per-call
+  // `ImageIO.getImageWritersByFormatName` path adds is a service-registry
+  // walk plus writer/param construction per image, pure overhead at one
+  // encode per frontier row (and shared-registry traffic across executor
+  // threads). One writer per thread, re-targeted with setOutput per image,
+  // produces byte-identical output (JPEG tables derive from the quality
+  // setting alone; pinned by ImageCodecCacheSpec).
+  private val jpegWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      ImageIO.getImageWritersByFormatName("jpeg").next()
+  }
+
   def encode(img: BufferedImage, fmt: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     fmt match {
@@ -151,14 +181,15 @@ object ImageGen {
       case "png" =>
         ImageIO.write(img, "png", bos)
       case "jpeg" =>
-        val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+        val writer = jpegWriter.get()
         val params = writer.getDefaultWriteParam
         params.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
         params.setCompressionQuality(JpegQuality)
         val ios = ImageIO.createImageOutputStream(bos)
         writer.setOutput(ios)
-        writer.write(null, new IIOImage(img, null, null), params)
-        ios.close(); writer.dispose()
+        try writer.write(null, new IIOImage(img, null, null), params)
+        finally writer.setOutput(null)
+        ios.close()
     }
     bos.toByteArray
   }

@@ -28,6 +28,22 @@ object PngCodec {
 
   private val Signature = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
 
+  // r6 (guide §4.5): the encoder runs once per frontier row — reuse the
+  // scanline/deflate scratch arrays and the Deflater per thread instead of
+  // allocating ~60 KB and a native zlib stream per image. reset() restores
+  // a Deflater to its post-construction state, so the emitted bytes are
+  // unchanged (PngCodecSpec pins the lossless round-trip either way).
+  private final class Scratch {
+    var raw: Array[Byte] = new Array[Byte](0)
+    var zbuf: Array[Byte] = new Array[Byte](0)
+    val crc = new CRC32()
+    var deflater: Deflater = null
+    var deflaterLevel: Int = Int.MinValue
+  }
+  private val scratch = new ThreadLocal[Scratch] {
+    override def initialValue() = new Scratch()
+  }
+
   /** Encode a TYPE_INT_RGB image (other types fall back to the caller's
     * ImageIO path — see [[ImageGen.encode]]).
     */
@@ -37,9 +53,12 @@ object PngCodec {
     val w = img.getWidth; val h = img.getHeight
     val pixels = img.getRaster.getDataBuffer
       .asInstanceOf[java.awt.image.DataBufferInt].getData
+    val sc = scratch.get()
 
     // raw scanlines: 1 filter byte (None) + w*3 RGB bytes per row
-    val raw = new Array[Byte](h * (1 + w * 3))
+    val rawLen = h * (1 + w * 3)
+    if (sc.raw.length < rawLen) sc.raw = new Array[Byte](rawLen)
+    val raw = sc.raw
     var y = 0; var o = 0
     while (y < h) {
       raw(o) = 0 // filter: None
@@ -56,29 +75,43 @@ object PngCodec {
       y += 1
     }
 
-    val deflater = new Deflater(level)
-    deflater.setInput(raw)
+    if (sc.deflater == null || sc.deflaterLevel != level) {
+      if (sc.deflater != null) sc.deflater.end()
+      sc.deflater = new Deflater(level)
+      sc.deflaterLevel = level
+    } else sc.deflater.reset()
+    val deflater = sc.deflater
+    deflater.setInput(raw, 0, rawLen)
     deflater.finish()
-    val zbuf = new Array[Byte](raw.length + (raw.length >> 9) + 64)
+    val zcap = rawLen + (rawLen >> 9) + 64
+    if (sc.zbuf.length < zcap) sc.zbuf = new Array[Byte](zcap)
+    val zbuf = sc.zbuf
     var zn = 0
     while (!deflater.finished()) {
       if (zn == zbuf.length) throw new IllegalStateException("deflate overflow")
       zn += deflater.deflate(zbuf, zn, zbuf.length - zn)
     }
-    deflater.end()
 
-    val out = new java.io.ByteArrayOutputStream(zn + 64)
-    out.write(Signature, 0, Signature.length)
-
-    val ihdr = new Array[Byte](13)
-    putInt(ihdr, 0, w); putInt(ihdr, 4, h)
-    ihdr(8) = 8  // bit depth
-    ihdr(9) = 2  // color type: truecolor
+    // assemble into one exact-size output array:
+    // sig(8) + IHDR(8+13+4) + IDAT(8+zn+4) + IEND(8+0+4)
+    val out = new Array[Byte](8 + 25 + 12 + zn + 12)
+    System.arraycopy(Signature, 0, out, 0, 8)
+    var p = 8
+    putInt(out, p, 13)
+    out(p + 4) = 'I'; out(p + 5) = 'H'; out(p + 6) = 'D'; out(p + 7) = 'R'
+    putInt(out, p + 8, w); putInt(out, p + 12, h)
+    out(p + 16) = 8 // bit depth
+    out(p + 17) = 2 // color type: truecolor
     // compression 0, filter 0, interlace 0 already zero
-    writeChunk(out, "IHDR", ihdr, 13)
-    writeChunk(out, "IDAT", zbuf, zn)
-    writeChunk(out, "IEND", Array.emptyByteArray, 0)
-    out.toByteArray
+    p = chunkCrc(sc.crc, out, p)
+    putInt(out, p, zn)
+    out(p + 4) = 'I'; out(p + 5) = 'D'; out(p + 6) = 'A'; out(p + 7) = 'T'
+    System.arraycopy(zbuf, 0, out, p + 8, zn)
+    p = chunkCrc(sc.crc, out, p)
+    putInt(out, p, 0)
+    out(p + 4) = 'I'; out(p + 5) = 'E'; out(p + 6) = 'N'; out(p + 7) = 'D'
+    chunkCrc(sc.crc, out, p)
+    out
   }
 
   private def putInt(b: Array[Byte], off: Int, v: Int): Unit = {
@@ -86,19 +119,15 @@ object PngCodec {
     b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
   }
 
-  private def writeChunk(out: java.io.ByteArrayOutputStream, typ: String,
-      data: Array[Byte], len: Int): Unit = {
-    val hdr = new Array[Byte](8)
-    putInt(hdr, 0, len)
-    var i = 0
-    while (i < 4) { hdr(4 + i) = typ.charAt(i).toByte; i += 1 }
-    out.write(hdr, 0, 8)
-    out.write(data, 0, len)
-    val crc = new CRC32()
-    crc.update(hdr, 4, 4)
-    crc.update(data, 0, len)
-    val tail = new Array[Byte](4)
-    putInt(tail, 0, crc.getValue.toInt)
-    out.write(tail, 0, 4)
+  /** CRC over [type|data] of the chunk starting at `off`; writes the 4 CRC
+    * bytes and returns the offset just past them.
+    */
+  private def chunkCrc(crc: CRC32, out: Array[Byte], off: Int): Int = {
+    val len = ((out(off) & 0xff) << 24) | ((out(off + 1) & 0xff) << 16) |
+      ((out(off + 2) & 0xff) << 8) | (out(off + 3) & 0xff)
+    crc.reset()
+    crc.update(out, off + 4, 4 + len)
+    putInt(out, off + 8 + len, crc.getValue.toInt)
+    off + 12 + len
   }
 }

@@ -100,8 +100,40 @@ object Scheduler {
     val narrow = gated.select(
       col("host"), col("url_hash"), col("priority"), col("seq"), col("cap"))
 
+    // r6 priority-histogram prefilter (guide §2.3 "shuffle fewer bytes" /
+    // §1.2 step 1): the two window sorts below only need rows that can
+    // still WIN. A row with priority p can hold a rank <= cap only if
+    // fewer than cap rows of its host carry a strictly higher priority
+    // (priority is the leading sort key), so the per-host cutoff
+    // p* = min{p : #rows(priority > p) < cap} bounds the rank input to
+    // ~cap + one tie bucket per host instead of the whole queue slice —
+    // measured 2M -> ~0.4M rows into both window exchanges on the bench
+    // round. Cost: one map-side-combined (host, priority) count (priority
+    // is LOW-cardinality by construction here — pmod(hash, 10) — so the
+    // histogram is ~hosts x 10 rows) and an equi-join on host that AQE
+    // broadcasts at exactly the sizes where host_state itself broadcasts.
+    // Exactness: the kept set is a SUPERSET of the winners and pruned rows
+    // order strictly after every kept row of their host (priority is the
+    // primary sort key), so both phases' row_numbers over the survivors —
+    // and therefore the emitted winner set and host_rank values — are
+    // bit-identical (SchedulerSpec + CrawlParitySpec pin this end to end).
+    // NO broadcast hint anywhere (the SchedulerSpec footgun contract).
+    val hist = narrow.groupBy(col("host"), col("priority"))
+      .agg(count(lit(1)).as("pn"), max(col("cap")).as("pcap"))
+    val wAbove = Window.partitionBy(col("host")).orderBy(col("priority").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cutoff = hist
+      .withColumn("above", coalesce(sum(col("pn")).over(wAbove), lit(0L)))
+      .groupBy(col("host"))
+      .agg(min(when(col("above") < col("pcap"), col("priority"))).as("pmin"))
+    val contenders = narrow.join(cutoff, Seq("host"))
+      // null-safe: a null pmin (or null priority, which sorts last but can
+      // still win on an under-full host) keeps the row — superset semantics
+      .filter(coalesce(col("priority") >= col("pmin"), lit(true)))
+      .drop("pmin")
+
     // phase 1: salted local top-k (bounds any single partition's rank input)
-    val salted = narrow.withColumn("salt", pmod(xxhash64(col("url_hash")), lit(Salts)))
+    val salted = contenders.withColumn("salt", pmod(xxhash64(col("url_hash")), lit(Salts)))
     val w1 = Window.partitionBy(col("host"), col("salt"))
       .orderBy(col("priority").desc, col("seq").asc)
     val local = salted

@@ -19,64 +19,203 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object UrlCodec {
 
+  /** r6: single-pass index walk over the input — byte-for-byte the same
+    * output as the original substring/split/ArrayBuffer implementation
+    * (UrlCodecSpec rules; UrlCanonEquivalenceSpec diff-tests the two over
+    * the rule corpus + a generator sweep), with two allocations per call
+    * (segment stack + output builder) instead of ~a dozen. The frontier
+    * gate evaluates this on every candidate URL twice per round (both
+    * branches of the bloom-dedup union), so the constant matters
+    * (guide §1.2 step 2).
+    *
+    * Lowercasing is manual ASCII `A-Z` → `a-z` for all-ASCII scheme/host
+    * (the only case the old `String.toLowerCase` could differ is a
+    * non-default JVM locale, which this engine never runs under) and falls
+    * back to `String.toLowerCase` when the region contains non-ASCII.
+    */
   def canonicalize(raw: String): String = {
     if (raw == null) return null
-    var s = raw.trim
-    val hash = s.indexOf('#')
-    if (hash >= 0) s = s.substring(0, hash)
+    val n = raw.length
+    // trim (String.trim semantics: strip chars <= ' ')
+    var b = 0
+    var e = n
+    while (b < e && raw.charAt(b) <= ' ') b += 1
+    while (e > b && raw.charAt(e - 1) <= ' ') e -= 1
+    // drop fragment: first '#' onwards
+    var i = b
+    while (i < e && raw.charAt(i) != '#') i += 1
+    e = i
 
-    var scheme = "http"
-    var rest = s
-    val schemeEnd = s.indexOf("://")
-    if (schemeEnd > 0) {
-      scheme = s.substring(0, schemeEnd).toLowerCase
-      rest = s.substring(schemeEnd + 3)
-    } else if (s.startsWith("//")) {
-      rest = s.substring(2)
+    // scheme: first "://" at position > 0 (relative to trimmed start)
+    var schemeB = -1
+    var schemeE = -1 // [schemeB, schemeE) or -1 -> default "http"
+    var restB = b
+    i = b
+    var found = false
+    while (i + 2 < e && !found) {
+      if (raw.charAt(i) == ':' && raw.charAt(i + 1) == '/' && raw.charAt(i + 2) == '/') {
+        if (i > b) { schemeB = b; schemeE = i; restB = i + 3 }
+        else restB = b // "://..." at pos 0: scheme stays default, rest unchanged
+        found = true
+      }
+      i += 1
     }
+    if (!found && e - b >= 2 && raw.charAt(b) == '/' && raw.charAt(b + 1) == '/')
+      restB = b + 2
 
-    val pathStart = {
-      val slash = rest.indexOf('/')
-      val q = rest.indexOf('?')
-      if (slash < 0 && q < 0) rest.length
-      else if (slash < 0) q
-      else if (q >= 0 && q < slash) q
-      else slash
+    // authority ends at the first '/' or '?' of rest
+    var pathStart = e
+    i = restB
+    while (i < pathStart) {
+      val c = raw.charAt(i)
+      if (c == '/' || c == '?') pathStart = i
+      i += 1
     }
-    var authority = rest.substring(0, pathStart)
-    var pathAndQuery = rest.substring(pathStart)
-
-    val at = authority.lastIndexOf('@')
-    if (at >= 0) authority = authority.substring(at + 1)
-    var host = authority
-    var port = ""
-    val colon = authority.lastIndexOf(':')
-    if (colon >= 0 && authority.indexOf(']') < colon) { // respect [v6]:port
-      host = authority.substring(0, colon)
-      port = authority.substring(colon + 1)
+    // userinfo: keep only after the last '@' of the authority
+    var hostB = restB
+    i = pathStart - 1
+    var at = -1
+    while (i >= restB && at < 0) {
+      if (raw.charAt(i) == '@') at = i
+      i -= 1
     }
-    host = host.toLowerCase.stripSuffix(".")
-    val defaultPort = (scheme == "http" && port == "80") ||
-      (scheme == "https" && port == "443") || port.isEmpty
-    val hostPort = if (defaultPort) host else host + ":" + port
-
-    val qIdx = pathAndQuery.indexOf('?')
-    var path = if (qIdx >= 0) pathAndQuery.substring(0, qIdx) else pathAndQuery
-    var query = if (qIdx >= 0) pathAndQuery.substring(qIdx + 1) else ""
-
-    // normalize path segments
-    val segs = path.split("/", -1).toList.filter(x => x.nonEmpty && x != ".")
-    val stack = new scala.collection.mutable.ArrayBuffer[String]()
-    segs.foreach {
-      case ".." => if (stack.nonEmpty) stack.remove(stack.length - 1)
-      case seg  => stack += seg
+    if (at >= 0) hostB = at + 1
+    // port: last ':' of the authority, unless inside a [v6] literal
+    var hostE = pathStart
+    var portB = -1 // [portB, pathStart) when >= 0
+    i = pathStart - 1
+    var colon = -1
+    while (i >= hostB && colon < 0) {
+      if (raw.charAt(i) == ':') colon = i
+      i -= 1
     }
-    val trailingSlash = path.endsWith("/") && stack.nonEmpty
-    path = "/" + stack.mkString("/") + (if (trailingSlash) "/" else "")
-    if (stack.isEmpty) path = "/"
+    if (colon >= 0) {
+      var bracket = -1
+      i = hostB
+      while (i < pathStart && bracket < 0) {
+        if (raw.charAt(i) == ']') bracket = i
+        i += 1
+      }
+      // old code compared authority-relative indices; relative and absolute
+      // comparisons agree because both are offsets from the same base
+      if (bracket < colon) { hostE = colon; portB = colon + 1 }
+    }
+    // strip one trailing '.' on host (stripSuffix semantics)
+    if (hostE > hostB && raw.charAt(hostE - 1) == '.') hostE -= 1
 
-    val qPart = if (query.isEmpty) "" else "?" + query
-    scheme + "://" + hostPort + path + qPart
+    // path / query split at the first '?' at or after pathStart
+    var qIdx = -1
+    i = pathStart
+    while (i < e && qIdx < 0) {
+      if (raw.charAt(i) == '?') qIdx = i
+      i += 1
+    }
+    val pathE = if (qIdx >= 0) qIdx else e
+    val queryB = if (qIdx >= 0) qIdx + 1 else e // [queryB, e)
+
+    // scheme text + default-port test (scheme is output lowercased)
+    val schemeIsDefault = schemeB < 0
+    val httpScheme = schemeIsDefault ||
+      regionEqualsLower(raw, schemeB, schemeE, "http")
+    val httpsScheme = !schemeIsDefault &&
+      regionEqualsLower(raw, schemeB, schemeE, "https")
+    val portEmpty = portB < 0 || portB == pathStart
+    val defaultPort = portEmpty ||
+      (httpScheme && regionEquals(raw, portB, pathStart, "80")) ||
+      (httpsScheme && regionEquals(raw, portB, pathStart, "443"))
+
+    // normalize path segments: non-empty, not ".", ".." pops
+    // segment stack as (start, end) index pairs
+    var segs = new Array[Int](16)
+    var nSegs = 0
+    i = pathStart
+    while (i < pathE) {
+      var j = i
+      while (j < pathE && raw.charAt(j) != '/') j += 1
+      val len = j - i
+      if (len > 0 && !(len == 1 && raw.charAt(i) == '.')) {
+        if (len == 2 && raw.charAt(i) == '.' && raw.charAt(i + 1) == '.') {
+          if (nSegs > 0) nSegs -= 1
+        } else {
+          if (nSegs * 2 == segs.length) segs = java.util.Arrays.copyOf(segs, segs.length * 2)
+          segs(nSegs * 2) = i
+          segs(nSegs * 2 + 1) = j
+          nSegs += 1
+        }
+      }
+      i = j + 1
+    }
+    val trailingSlash = nSegs > 0 && pathE > pathStart && raw.charAt(pathE - 1) == '/'
+
+    val out = new java.lang.StringBuilder(e - b + 8)
+    if (schemeIsDefault) out.append("http")
+    else appendLower(out, raw, schemeB, schemeE)
+    out.append("://")
+    appendLower(out, raw, hostB, hostE)
+    if (!defaultPort) {
+      out.append(':')
+      out.append(raw, portB, pathStart)
+    }
+    if (nSegs == 0) out.append('/')
+    else {
+      i = 0
+      while (i < nSegs) {
+        out.append('/')
+        out.append(raw, segs(i * 2), segs(i * 2 + 1))
+        i += 1
+      }
+      if (trailingSlash) out.append('/')
+    }
+    if (queryB < e) {
+      out.append('?')
+      out.append(raw, queryB, e)
+    }
+    out.toString
+  }
+
+  /** Does raw[b,e) equal `lit` after ASCII-lowercasing raw? (lit is
+    * lowercase ASCII.)
+    */
+  private def regionEqualsLower(raw: String, b: Int, e: Int, lit: String): Boolean = {
+    if (e - b != lit.length) return false
+    var i = 0
+    while (i < lit.length) {
+      var c = raw.charAt(b + i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      if (c != lit.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  private def regionEquals(raw: String, b: Int, e: Int, lit: String): Boolean = {
+    if (e - b != lit.length) return false
+    var i = 0
+    while (i < lit.length) {
+      if (raw.charAt(b + i) != lit.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Append raw[b,e) lowercased: manual `A-Z` map when all-ASCII, exact
+    * `String.toLowerCase` fallback otherwise (Unicode case mapping can
+    * change length — e.g. İ — which the manual path must not touch).
+    */
+  private def appendLower(out: java.lang.StringBuilder, raw: String, b: Int, e: Int): Unit = {
+    var i = b
+    var ascii = true
+    while (i < e && ascii) {
+      if (raw.charAt(i) >= 128) ascii = false
+      i += 1
+    }
+    if (!ascii) { out.append(raw.substring(b, e).toLowerCase); return }
+    i = b
+    while (i < e) {
+      val c = raw.charAt(i)
+      out.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      i += 1
+    }
   }
 
   def canonicalizeU(s: UTF8String): UTF8String =

@@ -45,26 +45,19 @@ object ProductQuant {
   private def l2sq(a: Column, b: Column): Column =
     graft.functions.VecOps.vec_l2sq(a, b)
 
-  /** argmin-by-L2 code over one subspace's centroid literal; ties to the
-    * lowest code (strict < keeps the first minimum; the literal is
-    * code-ordered).
-    */
-  private def argminCode(sv: Column, cents: Array[Array[Double]]): Column = {
-    val centArr = array(cents.zipWithIndex.map { case (c, code) =>
-      struct(lit(code).as("code"), lit(c).as("c"))
-    }: _*)
-    aggregate(
-      centArr,
-      struct(lit(Double.MaxValue).as("d"), lit(-1).as("code")),
-      (acc, s) => {
-        val d = l2sq(sv, s.getField("c"))
-        when(d < acc.getField("d"),
-          struct(d.as("d"), s.getField("code").as("code"))).otherwise(acc)
-      }).getField("code")
-  }
-
   private def sliceOf(v: Column, sub: Int, dsub: Int): Column =
     slice(v, sub * dsub + 1, dsub)
+
+  /** All m argmin-by-L2 codes of a vector in ONE kernel call
+    * ([[graft.functions.CentroidOps.pq_encode]]): ties to the lowest code,
+    * first strict minimum wins per subspace — bit-identical to the former
+    * per-subspace `aggregate(array(struct(lit...)))` composition
+    * (CentroidOpsSpec), which re-embedded the whole m×ksub×dsub codebook
+    * as plan literals per projection and was re-analyzed + re-codegen'd by
+    * the driver on every Lloyd iteration (guide §1.2 step 2).
+    */
+  private def codesOf(v: Column, cb: PqCodebook): Column =
+    graft.functions.CentroidOps.pq_encode(v, cb.codebook, cb.dsub)
 
   /** Train a PQ codebook: deterministic init (subvectors of the first
     * `ksub` rows by id), `iters` Lloyd steps over ALL subspaces in one job
@@ -89,11 +82,17 @@ object ProductQuant {
     val subMean = udaf(new SimilaritySearch.VecMeanAgg(dsub))
     (0 until math.max(iters, 1)).foreach { _ =>
       // one job: explode to (sub, slice, code) — the Generate is map-side;
-      // the aggregate partials combine before the m·ksub-key exchange
+      // the aggregate partials combine before the m·ksub-key exchange.
+      // r6: assignment = ONE pq_encode kernel call per row (codebook ships
+      // as a snapshot reference object, so the generated code is identical
+      // across iterations and the codegen cache hits) instead of m
+      // argmin-literal folds re-planned per iteration.
+      val cbSnap = cb.map(_.clone())
+      val codes = graft.functions.CentroidOps.pq_encode(col("v"), cbSnap, dsub)
       val sliced = vecs.select(posexplode(
         array((0 until m).map { j =>
           struct(sliceOf(col("v"), j, dsub).as("sv"),
-            argminCode(sliceOf(col("v"), j, dsub), cb(j)).as("code"))
+            element_at(codes, j + 1).as("code"))
         }: _*)).as(Seq("sub", "e")))
         .select(col("sub"), col("e.code").as("code"), col("e.sv").as("sv"))
       val updated = sliced.groupBy(col("sub"), col("code"))
@@ -111,10 +110,7 @@ object ProductQuant {
       cb: PqCodebook, keep: Seq[String] = Nil): DataFrame =
     df.select(col(idCol).cast("long").as("id") +:
       keep.map(col) :+
-      array((0 until cb.m).map { j =>
-        argminCode(sliceOf(col(vecCol).cast("array<double>"), j, cb.dsub),
-          cb.codebook(j))
-      }: _*).as("codes"): _*)
+      codesOf(col(vecCol).cast("array<double>"), cb).as("codes"): _*)
 
   /** The query's asymmetric distance table, flat: dt(j·ksub + code) =
     * ‖q_j − centroid(j)(code)‖². Driver-side — it is m×ksub doubles of

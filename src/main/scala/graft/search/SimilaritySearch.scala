@@ -94,27 +94,25 @@ object SimilaritySearch {
       .groupBy("cell").agg(vecMean(col("v")).as("c"))
   }
 
-  /** Nearest-centroid assignment as a single per-row argmax expression over
-    * a centroid literal — NO join, NO shuffle (the round-1 design was a
-    * broadcast cross-join to n·nlist rows plus a per-id window sort, an
-    * avoidable n·nlist exchange). Ties break toward the lowest cell id
-    * (strict > keeps the first maximum; the literal is cell-ordered).
+  /** Nearest-centroid assignment as a single per-row argmax expression —
+    * NO join, NO shuffle (the round-1 design was a broadcast cross-join to
+    * n·nlist rows plus a per-id window sort, an avoidable n·nlist
+    * exchange). Ties break toward the lowest cell id (strict > keeps the
+    * first maximum; the centroid table is cell-ordered).
+    *
+    * r6 (guide §1.2 step 2): the argmax is the native
+    * [[graft.functions.CentroidOps]] kernel — the previous
+    * `aggregate(array(struct(lit...)))` composition re-embedded every
+    * centroid as plan literals (re-analyzed + re-codegen'd on the driver
+    * each Lloyd iteration, since the literals change per round) and walked
+    * HOF plumbing per row. Same scan order, same [[Dedup.cosine]]
+    * arithmetic, same tie/NaN semantics — bit-identical cells
+    * (CentroidOpsSpec).
     */
   private def assignCells(vecs: DataFrame,
-      centroids: Array[(Int, Array[Double])]): DataFrame = {
-    val centArr = array(centroids.sortBy(_._1).map { case (cell, c) =>
-      struct(lit(cell).as("cell"), lit(c).as("c"))
-    }: _*)
-    val best = aggregate(
-      centArr,
-      struct(lit(Double.MinValue).as("cos"), lit(-1).as("cell")),
-      (acc, s) => {
-        val cs = Dedup.cosine(col("v"), s.getField("c"))
-        when(cs > acc.getField("cos"),
-          struct(cs.as("cos"), s.getField("cell").as("cell"))).otherwise(acc)
-      })
-    vecs.select(col("id"), col("v"), best.getField("cell").as("cell"))
-  }
+      centroids: Array[(Int, Array[Double])]): DataFrame =
+    vecs.select(col("id"), col("v"),
+      graft.functions.CentroidOps.nearest_cell_cos(col("v"), centroids).as("cell"))
 
   // ---- Hamming-space k-NN over 64-bit perceptual hashes -------------------
 

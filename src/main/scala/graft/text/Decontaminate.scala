@@ -38,11 +38,17 @@ object Decontaminate {
   def overlap(docs: DataFrame, docIdCol: String, docTextCol: String,
       evalSet: DataFrame, evalTextCol: String,
       n: Int = 8, minHits: Long = 3L): DataFrame = {
-    val evalGrams = evalSet
+    // r6 (guide §2.5): the n-gram build is the expensive projection and
+    // otherwise fuses into the (single-task at small SF) scan stage —
+    // spread both sides across cores first (no-op at scale, see
+    // [[graft.functions.Parallelize]]). Same grams, same counts.
+    val evalGrams = graft.functions.Parallelize.spreadForCompute(
+      evalSet.select(col(evalTextCol)))
       .select(explode(wordNgrams(col(evalTextCol), n)).as("gram"))
       .select(xxhash64(col("gram")).as("gh"))
       .distinct()
-    val docGrams = docs
+    val docGrams = graft.functions.Parallelize.spreadForCompute(
+      docs.select(col(docIdCol), col(docTextCol)))
       .select(col(docIdCol).as("doc_id"),
         explode(wordNgrams(col(docTextCol), n)).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("gh"))

@@ -43,7 +43,12 @@ object LineDedup {
   def normalize(line: Column): Column =
     trim(regexp_replace(lower(line), "\\s+", " "))
 
-  /** (id, pos, line, lk) — one row per line of the `linesCol` array. */
+  /** (id, pos, line, lk) — one row per line of the `linesCol` array.
+    * r6: measured A/B — a spreadForCompute before the explode made
+    * q_line_dedup SLOWER at sf0.1 (1.09 → 1.35 s): the explode+hash is
+    * cheap next to the census/anti-join/reassemble aggregations, so the
+    * extra exchange only adds stages. Left fused with the scan on purpose.
+    */
   private def exploded(df: DataFrame, idCol: String, linesCol: String): DataFrame =
     df.select(col(idCol).as("id"),
         posexplode(col(linesCol)).as(Seq("pos", "line")))

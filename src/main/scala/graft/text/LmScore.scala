@@ -31,7 +31,12 @@ import org.apache.spark.sql.functions._
   */
 object LmScore {
 
-  /** (id, u, v) bigram stream; documents with < 2 tokens contribute none. */
+  /** (id, u, v) bigram stream; documents with < 2 tokens contribute none.
+    * r6: measured A/B — a spreadForCompute here made the operator SLOWER
+    * at sf0.1 (0.55 → 0.71 s): the bigram explode is cheap next to the
+    * count-table aggregations, so the extra exchange only adds a stage.
+    * Left fused with the scan on purpose.
+    */
   def docBigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= 2)

@@ -32,6 +32,10 @@ object TfIdf {
     */
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // r6: measured A/B — spreading the tokenize across cores first
+    // (Parallelize.spreadForCompute) made this operator SLOWER at sf0.1
+    // (0.78 → 1.13 s): the explode+checkpoint is cheap enough here that the
+    // extra exchange + stage dominate. Left fused with the scan on purpose.
     val terms = df.select(col(idCol).as("id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .localCheckpoint(true) // feeds tf, df, and N below

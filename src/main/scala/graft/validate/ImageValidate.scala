@@ -25,8 +25,41 @@ object ImageValidate {
       image_id: String, fmt: String, psnr_db: Double,
       pixels_ok: Boolean, caption_ok: Boolean, phash_ok: Boolean)
 
-  def decode(bytes: Array[Byte]): BufferedImage =
-    ImageIO.read(new ByteArrayInputStream(bytes))
+  // r6 (guide §4.5): `ImageIO.read` walks the service registry per call
+  // (each provider's canDecodeInput re-reads the magic bytes) and
+  // constructs a fresh reader per image. The decode itself — the "real
+  // fetched-payload work" the bench round models — is UNCHANGED: the same
+  // JDK PNGImageReader / JPEGImageReader instances do the actual decoding;
+  // only the per-call lookup is hoisted to one cached reader per thread,
+  // dispatched on the container magic we generate (PNG \x89PNG, JPEG
+  // \xFF\xD8). Anything else falls back to the stock ImageIO.read path.
+  // Byte-path equivalence is pinned by ImageCodecCacheSpec.
+  private val readerFor = new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+    override def initialValue() = new java.util.HashMap[String, javax.imageio.ImageReader]()
+  }
+  private def cachedReader(fmt: String): javax.imageio.ImageReader = {
+    val m = readerFor.get()
+    var r = m.get(fmt)
+    if (r == null) {
+      r = ImageIO.getImageReadersByFormatName(fmt).next()
+      m.put(fmt, r)
+    }
+    r
+  }
+
+  def decode(bytes: Array[Byte]): BufferedImage = {
+    val fmt =
+      if (bytes.length > 3 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte) "png"
+      else if (bytes.length > 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
+      else null
+    if (fmt == null) return ImageIO.read(new ByteArrayInputStream(bytes))
+    val reader = cachedReader(fmt)
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))
+    reader.setInput(iis, true, true)
+    try reader.read(0)
+    finally { reader.setInput(null); iis.close() }
+  }
 
   /** Row-major packed-RGB pixels of an image, reading the backing raster
     * directly for the two layouts this pipeline actually produces

@@ -28,6 +28,41 @@ class DedupSpec extends AnyFunSuite {
     (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
   }
 
+  test("tokenJaccardPairs (hashed longs) ≡ the string-array formulation") {
+    // r6: tokens ride the pairwise stage as sorted-distinct xxhash64 longs;
+    // this pins bit-equality of (id1, id2, jaccard) against the original
+    // string-array form on the fixture corpus (plus a low-threshold run so
+    // many pairs, not just near-dups, are compared).
+    import graft.text.TextAnalysis
+    def stringForm(threshold: Double) = {
+      val base = corpus.select(col("doc_id").as("id"),
+        sort_array(array_distinct(TextAnalysis.tokens(col("text")))).as("toks"))
+        .withColumn("nt", size(col("toks")))
+      val l = base.select(col("id").as("id1"), col("toks").as("t1"), col("nt").as("n1"))
+      val r = base.select(col("id").as("id2"), col("toks").as("t2"), col("nt").as("n2"))
+      l.crossJoin(r)
+        .filter(col("id1") < col("id2"))
+        .filter(least(col("n1"), col("n2")).cast("double") /
+          greatest(col("n1"), col("n2")) >= threshold)
+        .withColumn("inter",
+          graft.functions.ArraySetOps.sorted_intersect_count(col("t1"), col("t2"))
+            .cast("double"))
+        .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    }
+    Seq(0.1, 0.55).foreach { th =>
+      val hashed = Dedup.tokenJaccardPairs(
+        corpus.withColumn("blk", lit(1)), "doc_id", "text", Seq("blk"), th)
+        .select("id1", "id2", "jaccard")
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      val strings = stringForm(th)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      assert(hashed.toSeq === strings.toSeq, s"threshold $th")
+      assert(hashed.nonEmpty)
+    }
+  }
+
   test("exact dedup finds planted exact duplicates, keeps min id") {
     val groups = Dedup.exactDupGroups(corpus, "doc_id", "text")
     val dups = groups.filter(col("dup_count") > 1).collect()
