@@ -68,16 +68,17 @@ object ProductQuant {
     import spark.implicits._
     val vecs = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val dim = vecs.select(size(col("v"))).as[Int].head()
+    // r6: dim comes from the seed rows already being collected — the
+    // separate `select(size(v)).head()` was one more driver job per train
+    val seed = vecs.orderBy("id").limit(ksub).as[(Long, Array[Double])]
+      .collect().map(_._2)
+    require(seed.nonEmpty, "train needs at least one vector")
+    val dim = seed.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
 
     var cb: Array[Array[Array[Double]]] =
-      vecs.orderBy("id").limit(ksub).as[(Long, Array[Double])].collect()
-        .map(_._2) match {
-        case seed => Array.tabulate(m)(j =>
-          seed.map(v => v.slice(j * dsub, (j + 1) * dsub)))
-      }
+      Array.tabulate(m)(j => seed.map(v => v.slice(j * dsub, (j + 1) * dsub)))
 
     val subMean = udaf(new SimilaritySearch.VecMeanAgg(dsub))
     (0 until math.max(iters, 1)).foreach { _ =>
