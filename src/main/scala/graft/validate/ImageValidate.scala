@@ -47,6 +47,34 @@ object ImageValidate {
     r
   }
 
+  /** Minimal seekable ImageInputStream straight over a byte[] —
+    * MemoryCacheImageInputStream re-buffers the (already in-memory) bytes
+    * into its block cache per image; this reads the array directly. Only
+    * read()/read(b,off,len)/length are format-relevant; seeking is the
+    * ImageInputStreamImpl streamPos contract.
+    */
+  private final class ByteArrayImageInputStream(bytes: Array[Byte])
+      extends javax.imageio.stream.ImageInputStreamImpl {
+    override def read(): Int = {
+      if (streamPos >= bytes.length) return -1
+      bitOffset = 0
+      val v = bytes(streamPos.toInt) & 0xff
+      streamPos += 1
+      v
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (streamPos >= bytes.length) return -1
+      bitOffset = 0
+      val n = math.min(len, bytes.length - streamPos.toInt)
+      System.arraycopy(bytes, streamPos.toInt, b, off, n)
+      streamPos += n
+      n
+    }
+    override def length(): Long = bytes.length.toLong
+    override def isCached: Boolean = true
+    override def isCachedMemory: Boolean = true
+  }
+
   def decode(bytes: Array[Byte]): BufferedImage = {
     val fmt =
       if (bytes.length > 3 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte) "png"
@@ -54,8 +82,7 @@ object ImageValidate {
       else null
     if (fmt == null) return ImageIO.read(new ByteArrayInputStream(bytes))
     val reader = cachedReader(fmt)
-    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-      new ByteArrayInputStream(bytes))
+    val iis = new ByteArrayImageInputStream(bytes)
     reader.setInput(iis, true, true)
     try reader.read(0)
     finally { reader.setInput(null); iis.close() }
@@ -123,22 +150,79 @@ object ImageValidate {
     */
   def psnr(a: BufferedImage, b: BufferedImage): Double = {
     require(a.getWidth == b.getWidth && a.getHeight == b.getHeight, "size mismatch")
-    val pa = packedRgb(a); val pb = packedRgb(b)
+    // r6: the dominant case (generator INT_RGB vs decoder 3BYTE_BGR) walks
+    // both backing buffers directly instead of materializing packedRgb(b)
+    // — SAME traversal (row-major pixels, channels B,G,R within each) and
+    // the identical `se += d*d` adds in the identical order, so the sum —
+    // and the returned dB — are bit-identical to the two-pass form
+    // (ImageCodecCacheSpec pins fused ≡ two-pass on a seed sweep).
+    val w = a.getWidth; val h = a.getHeight
     var se = 0.0
-    var i = 0
-    while (i < pa.length) {
-      val x = pa(i); val y = pb(i)
-      var sh = 0
-      while (sh <= 16) {
-        val d = ((x >> sh) & 0xff) - ((y >> sh) & 0xff)
-        se += d.toDouble * d
-        sh += 8
+    val fastA: Array[Int] =
+      if (a.getType == BufferedImage.TYPE_INT_RGB) intRgbDirect(a) else null
+    val fastB: Array[Byte] =
+      if (b.getType == BufferedImage.TYPE_3BYTE_BGR) bgrDirect(b) else null
+    if (fastA != null && fastB != null) {
+      val n = w * h
+      var i = 0
+      var o = 0
+      while (i < n) {
+        val x = fastA(i)
+        val dB = (x & 0xff) - (fastB(o) & 0xff)
+        se += dB.toDouble * dB
+        val dG = ((x >> 8) & 0xff) - (fastB(o + 1) & 0xff)
+        se += dG.toDouble * dG
+        val dR = ((x >> 16) & 0xff) - (fastB(o + 2) & 0xff)
+        se += dR.toDouble * dR
+        i += 1; o += 3
       }
-      i += 1
+    } else {
+      val pa = packedRgb(a); val pb = packedRgb(b)
+      var i = 0
+      while (i < pa.length) {
+        val x = pa(i); val y = pb(i)
+        var sh = 0
+        while (sh <= 16) {
+          val d = ((x >> sh) & 0xff) - ((y >> sh) & 0xff)
+          se += d.toDouble * d
+          sh += 8
+        }
+        i += 1
+      }
     }
-    val mse = se / (a.getWidth.toDouble * a.getHeight * 3)
+    val mse = se / (w.toDouble * h * 3)
     if (mse == 0.0) Double.PositiveInfinity
     else 10.0 * math.log10(255.0 * 255.0 / mse)
+  }
+
+  /** The INT_RGB backing buffer iff it is laid out exactly row-major with
+    * no offset/stride surprises (the [[packedRgb]] fast-path conditions);
+    * null otherwise.
+    */
+  private def intRgbDirect(img: BufferedImage): Array[Int] = {
+    val raster = img.getRaster
+    raster.getSampleModel match {
+      case sm: java.awt.image.SinglePixelPackedSampleModel
+          if raster.getDataBuffer.getOffset == 0 &&
+            sm.getScanlineStride == img.getWidth =>
+        raster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferInt].getData
+      case _ => null
+    }
+  }
+
+  /** The 3BYTE_BGR backing buffer iff pixel stride 3, scanline stride w*3,
+    * offset 0 (contiguous row-major B,G,R); null otherwise.
+    */
+  private def bgrDirect(img: BufferedImage): Array[Byte] = {
+    val raster = img.getRaster
+    raster.getSampleModel match {
+      case sm: java.awt.image.PixelInterleavedSampleModel
+          if raster.getDataBuffer.getOffset == 0 &&
+            sm.getPixelStride == 3 &&
+            sm.getScanlineStride == img.getWidth * 3 =>
+        raster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte].getData
+      case _ => null
+    }
   }
 
   /** Validate every row of an images table (schema = input_hint) against the

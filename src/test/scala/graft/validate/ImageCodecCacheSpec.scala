@@ -64,4 +64,37 @@ class ImageCodecCacheSpec extends AnyFunSuite {
   test("non-magic bytes still fall back to stock ImageIO.read (null)") {
     assert(ImageValidate.decode(Array[Byte](1, 2, 3, 4)) === null)
   }
+
+  test("fused psnr ≡ two-pass packedRgb psnr, bit for bit") {
+    // the two-pass reference: exactly the pre-r6 formulation
+    def psnrRef(a: java.awt.image.BufferedImage,
+        b: java.awt.image.BufferedImage): Double = {
+      val pa = ImageValidate.packedRgb(a); val pb = ImageValidate.packedRgb(b)
+      var se = 0.0
+      var i = 0
+      while (i < pa.length) {
+        val x = pa(i); val y = pb(i)
+        var sh = 0
+        while (sh <= 16) {
+          val d = ((x >> sh) & 0xff) - ((y >> sh) & 0xff)
+          se += d.toDouble * d
+          sh += 8
+        }
+        i += 1
+      }
+      val mse = se / (a.getWidth.toDouble * a.getHeight * 3)
+      if (mse == 0.0) Double.PositiveInfinity
+      else 10.0 * math.log10(255.0 * 255.0 / mse)
+    }
+    (0L until 40L).foreach { i =>
+      val img = ImageGen.raster(i)
+      Seq("png", "jpeg").foreach { fmt =>
+        val dec = ImageValidate.decode(ImageGen.encode(img, fmt))
+        val fused = ImageValidate.psnr(img, dec) // INT_RGB vs 3BYTE_BGR fast path
+        val ref = psnrRef(img, dec)
+        assert(java.lang.Double.doubleToRawLongBits(fused) ===
+          java.lang.Double.doubleToRawLongBits(ref), s"$fmt $i")
+      }
+    }
+  }
 }
